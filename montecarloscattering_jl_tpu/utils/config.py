@@ -1,0 +1,484 @@
+"""Typed run configuration: TOML parsing + validation.
+
+Mirrors the reference's config surface: every key of mc_in.toml
+(/root/reference/mc_in.toml:1-224) with the parsing / defaulting /
+cross-field validation semantics of data_input.jl:2-186 and the main
+driver (MonteCarloScattering.jl:66-260).
+"""
+
+from __future__ import annotations
+
+import math
+import tomllib
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from .constants import (
+    AA_ELECTRON,
+    C_CGS,
+    KEV_ERG,
+    KM_CM,
+    ME_CGS,
+    MP_C,
+    MP_CGS,
+    PC_CM,
+    QE_CGS,
+)
+from .params import NA_C, NA_PARTICLES
+from .species import Species, lorentz
+
+
+class ConfigError(ValueError):
+    """Raised on invalid or inconsistent configuration."""
+
+
+# ---------------------------------------------------------------------------
+# Individual parsers (data_input.jl)
+# ---------------------------------------------------------------------------
+
+def parse_shock_speed(skspd: float, unit: str) -> tuple[float, float, float]:
+    """(u0 [cm/s], beta0, gamma0) from speed + unit (data_input.jl:2-26)."""
+    if skspd <= 0:
+        raise ConfigError("shock-speed must be positive")
+    if unit in ("gamma", "γ"):
+        if skspd <= 1:
+            raise ConfigError("shock-speed: Lorentz factor must be > 1")
+        gamma = skspd
+        beta = math.sqrt(1.0 - 1.0 / gamma**2)
+        u0 = beta * C_CGS
+    elif unit == "km/s":
+        u0 = skspd * KM_CM
+        if not (0 < u0 < C_CGS):
+            raise ConfigError("shock-speed: u must be between 0 and c")
+        beta = u0 / C_CGS
+        gamma = lorentz(beta)
+    elif unit == "c":
+        if not (0 < skspd < 1):
+            raise ConfigError("shock-speed: beta must be between 0 and 1")
+        beta = skspd
+        u0 = beta * C_CGS
+        gamma = lorentz(beta)
+    else:
+        raise ConfigError(f"shock-speed-unit: unknown unit {unit!r}")
+    return u0, beta, gamma
+
+
+def parse_maximum_energy(energy_max: Sequence[float]) -> tuple[float, float, float]:
+    """(Emax [erg], Emax_per_aa [erg], pmax [g cm/s]) — first nonzero wins
+    (data_input.jl:28-48).  Inputs are [keV, keV/aa, pmax/(m_p c)]."""
+    if energy_max[0] > 0:
+        return energy_max[0] * KEV_ERG, 0.0, 0.0
+    if energy_max[1] > 0:
+        return 0.0, energy_max[1] * KEV_ERG, 0.0
+    if energy_max[2] > 0:
+        return 0.0, 0.0, energy_max[2] * MP_C
+    raise ConfigError("maximum-energy: at least one choice must be non-zero.")
+
+
+def parse_electron_critical_energy(e_crit_kev) -> tuple[float, float]:
+    """(p_e_crit [g cm/s], gamma_e_crit) below which electrons scatter with a
+    constant MFP (data_input.jl:50-68).  Disabled => (-me*c, -1)."""
+    if e_crit_kev is None or e_crit_kev <= 0:
+        return -ME_CGS * C_CGS, -1.0
+    e_crit = e_crit_kev * KEV_ERG
+    e_crit_rm = e_crit / (ME_CGS * C_CGS**2)
+    if e_crit_rm < 1.0e-2:
+        return math.sqrt(2.0 * ME_CGS * e_crit), 1.0
+    gamma = e_crit_rm + 1.0
+    return ME_CGS * C_CGS * math.sqrt(gamma**2 - 1.0), gamma
+
+
+def check_shock_angle(theta_deg: float) -> None:
+    """Only parallel shocks supported (data_input.jl:70-77)."""
+    if theta_deg > 0:
+        raise ConfigError(
+            "theta-B0: framework cannot currently handle oblique shocks."
+        )
+    if theta_deg < 0:
+        raise ConfigError("theta-B0: must be at least 0.")
+
+
+def check_x_grid_limits(x_start_rg: float, x_stop_rg: float) -> None:
+    """data_input.jl:79-83."""
+    if x_start_rg >= 0:
+        raise ConfigError("x_grid_limits: x_grid_start must be negative.")
+    if x_stop_rg <= 0:
+        raise ConfigError("x_grid_limits: x_grid_stop must be positive.")
+
+
+def check_pcuts(pcuts: Sequence[float], emax: float, emax_per_aa: float,
+                pmax: float) -> None:
+    """Ensure highest pcut covers the requested Emax, assuming Fe (A=56)
+    worst case (data_input.jl:85-121).  pcuts in g cm/s."""
+    if len(pcuts) > NA_C:
+        raise ConfigError("momentum-cutoffs: more pcuts than NA_C allows.")
+    if emax > 0:
+        emax_eff = 56.0 * pcuts[-2] * C_CGS
+        if emax > emax_eff:
+            raise ConfigError(
+                "momentum-cutoffs: max energy exceeds highest pcut "
+                f"(Emax={emax:g} erg > Emax_eff={emax_eff:g} erg for Fe)."
+            )
+    elif emax_per_aa > 0:
+        emax_eff = pcuts[-2] * C_CGS
+        if emax_per_aa > emax_eff:
+            raise ConfigError(
+                "momentum-cutoffs: max energy per aa exceeds highest pcut."
+            )
+    elif pmax > 0:
+        pmax_eff = 56.0 * pcuts[-2]
+        if pmax > pmax_eff:
+            raise ConfigError(
+                "momentum-cutoffs: max momentum exceeds highest pcut."
+            )
+    else:
+        raise ConfigError("unexpected: no maximum energy set")
+
+
+def get_feb(febup, febdw, x_grid_start_rg: float, rg0: float
+            ) -> tuple[float, float, bool]:
+    """(feb_upstream [cm], feb_downstream [cm], use_prp)
+    (data_input.jl:123-151).  feb inputs are [rg0-units, pc-units] pairs;
+    first valid entry wins.  A non-positive downstream FEB selects the
+    probability-of-return-plane treatment."""
+    if febup is None:
+        feb_upstream = x_grid_start_rg * rg0
+    else:
+        if febup[0] < 0:
+            feb_upstream = febup[0] * rg0
+        elif febup[1] < 0:
+            feb_upstream = febup[1] * PC_CM
+        else:
+            raise ConfigError("FEB-upstream: at least one choice must be negative.")
+        if feb_upstream / rg0 < x_grid_start_rg:
+            raise ConfigError("FEB-upstream: must be within x_grid_start.")
+
+    use_prp = False
+    if febdw is None:
+        feb_downstream = -1.0
+    elif febdw[0] > 0:
+        feb_downstream = febdw[0] * rg0
+    elif febdw[1] > 0:
+        feb_downstream = febdw[1] * PC_CM
+    else:
+        feb_downstream = 0.0
+        use_prp = True
+    return feb_upstream, feb_downstream, use_prp
+
+
+def parse_jet_frac(jetfr, do_photons: bool) -> tuple[float, float]:
+    """(jet_sph_frac, jet_open_angle_deg) (data_input.jl:153-167)."""
+    if jetfr is None:
+        if do_photons:
+            raise ConfigError("JETFR must be specified when calculating photons.")
+        return 0.0, 0.0
+    jet_sph_frac, jet_open_ang_deg = jetfr
+    if 0 < jet_sph_frac <= 1:
+        jet_open_ang_deg = math.degrees(math.acos(1.0 - 2.0 * jet_sph_frac))
+    elif 0 < jet_open_ang_deg <= 180:
+        jet_sph_frac = (1.0 - math.cos(math.radians(jet_open_ang_deg))) / 2.0
+    else:
+        raise ConfigError("JETFR: unphysical values entered.")
+    return jet_sph_frac, jet_open_ang_deg
+
+
+def parse_species(cfg: dict) -> list[Species]:
+    """Build Species list; NaN mass marks the electron species
+    (data_input.jl:169-185).  Electrons, if present, must be last."""
+    masses = list(cfg["AA_ION"])
+    charges = list(cfg["ZZ_ION"])
+    temps = list(cfg["TZ_ION"])
+    dens = list(cfg["DENZ_ION"])
+    if not (len(masses) == len(charges) == len(temps) == len(dens)):
+        raise ConfigError(
+            "Inconsistent number of ion parameters (AA_ION/ZZ_ION/TZ_ION/DENZ_ION)"
+        )
+    for i, m in enumerate(masses):
+        if isinstance(m, float) and math.isnan(m):
+            masses[i] = AA_ELECTRON
+            charges[i] = -1.0
+    return [
+        Species(mass=m * MP_CGS, charge=z * QE_CGS, temperature=t,
+                number_density=n)
+        for m, z, t, n in zip(masses, charges, temps, dens)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Full run configuration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RunConfig:
+    """All run parameters after parsing and validation.
+
+    Field names follow the reference's internal variable names
+    (MonteCarloScattering.jl:66-260) rather than the TOML keys.
+    """
+
+    # shock kinematics
+    u0: float = 0.0                  # upstream shock-frame flow speed [cm/s]
+    beta0: float = 0.0
+    gamma0: float = 1.0
+    # species (protons first, electrons last if present)
+    species: list[Species] = field(default_factory=list)
+    # injection
+    inp_distr: int = 1               # 1 = thermal, 2 = delta function
+    energy_inj: float = 0.0          # delta-function injection energy [erg]
+    inj_weight: bool = True          # equal-weight particles vs equal-weight bins
+    n_pts_inj: int = 100
+    # maximum energy (one of these is nonzero)
+    emax: float = 0.0                # [erg]
+    emax_per_aa: float = 0.0         # [erg]
+    pmax: float = 0.0                # [g cm/s]
+    # scattering
+    eta_mfp: float = 1.0             # gyrofactor: lambda = eta * r_g
+    use_custom_frg: bool = False
+    xn_per_coarse: float = 100.0
+    xn_per_fine: float = 2000.0
+    # fields / geometry
+    bmag0: float = 1.0e-5            # upstream B [G]
+    theta_b0: float = 0.0            # [deg]; must be 0 (parallel shock)
+    rg0: float = 0.0                 # proton gyroradius scale [cm]
+    x_grid_start_rg: float = -1.0e7
+    x_grid_stop_rg: float = 10.0
+    feb_upstream: float = 0.0        # [cm] (negative)
+    feb_downstream: float = -1.0     # [cm]; <=0 with use_prp => PRP treatment
+    use_prp: bool = True
+    x_spec: list[float] = field(default_factory=list)   # detector positions [cm]
+    # iterations / particle counts
+    n_itrs: int = 1
+    n_pts_pcut: int = 400
+    n_pts_pcut_hi: int = 2000
+    energy_pcut_hi: float = 1.0e6    # [keV per aa]
+    pcuts: list[float] = field(default_factory=list)    # [g cm/s]
+    # switches
+    dont_shock: bool = False
+    dont_scatter: bool = False
+    dont_dsa: bool = False
+    do_smoothing: bool = True
+    do_rad_losses: bool = True
+    do_retro: bool = False
+    do_fast_push: bool = False
+    do_photons: bool = False
+    do_multi_dndps: bool = False
+    do_prof_fac_damp: bool = False
+    use_custom_eps_b: bool = False
+    # smoothing
+    prof_weight_fac: float = 1.0
+    smooth_mom_energy_fac: float = 0.0      # SMMOE
+    smooth_pressure_flux_psd_fac: float = 0.0  # SMPFP (must stay 0)
+    x_art_start_rg: float = 0.0
+    x_art_scale: float = 0.0
+    r_comp: float = -1.0             # resolved later vs r_RH
+    # ages / tcuts
+    age_max: float = -1.0            # [s]; <=0 disables
+    tcuts: list[float] = field(default_factory=list)    # [s]
+    # electrons
+    pe_crit: float = -1.0            # [g cm/s]
+    gamma_e_crit: float = -1.0
+    energy_transfer_frac: float = 0.0
+    # fast push
+    x_fast_stop_rg: float = 0.0
+    # photons / jet geometry
+    jet_rad_pc: float = 0.0
+    jet_sph_frac: float = 0.0
+    jet_open_ang_deg: float = 0.0
+    jet_dist_mpc: float = 1.0e-3     # [Mpc]
+    redshift: float = 0.0
+    num_upstream_shells: int = 0
+    num_downstream_shells: int = 0
+    # B-field turbulence
+    bturb_comp_frac: float = 0.0
+    bfield_amp: float = 1.0
+    # PSD binning
+    psd_bins_per_dec_mom: int = 10
+    psd_bins_per_dec_theta: int = 10
+    psd_lin_cos_bins: int = 119
+    psd_log_theta_decs: int = 4
+    # misc
+    emin_therm_fac: float = 0.01     # EMNFC
+    inj_fracs: list[float] = field(default_factory=list)
+    random_seed: int = 0
+    do_tcuts: bool = False
+    n_old_skip: int = 0
+    n_old_profs: int = 0
+    n_old_per_prof: int = 0
+    do_old_prof: bool = False
+
+    @property
+    def n_ions(self) -> int:
+        return len(self.species)
+
+    @property
+    def u2(self) -> float:
+        """Downstream flow speed from r_comp [cm/s]."""
+        return self.u0 / self.r_comp
+
+
+def config_from_dict(cfg: dict) -> RunConfig:
+    """Parse + validate a raw TOML dict (MonteCarloScattering.jl:66-260)."""
+    out = RunConfig()
+
+    out.random_seed = int(cfg.get("random-seed", 0))
+    out.u0, out.beta0, out.gamma0 = parse_shock_speed(
+        float(cfg["shock-speed"]), str(cfg["shock-speed-unit"]))
+    out.species = parse_species(cfg)
+
+    out.inp_distr = int(cfg["input-distribution"])
+    out.energy_inj = float(cfg["injection-energy"]) * KEV_ERG
+    out.inj_weight = bool(cfg.get("injection-weights", True))
+    out.emax, out.emax_per_aa, out.pmax = parse_maximum_energy(
+        [float(x) for x in cfg["maximum-energy"]])
+    out.eta_mfp = float(cfg.get("gyrofactor", 1.0))
+
+    out.bmag0 = float(cfg["B-mag-upstream"])
+    # rg0: gyroradius of a proton moving at u0 in bmag0; relativistically
+    # correct (MonteCarloScattering.jl:86)
+    out.rg0 = (out.gamma0 * MP_CGS * C_CGS**2 * out.beta0) / (QE_CGS * out.bmag0)
+
+    out.theta_b0 = float(cfg["theta-B0"])
+    check_shock_angle(out.theta_b0)
+
+    out.x_grid_start_rg, out.x_grid_stop_rg = (
+        float(cfg["x_grid_limits"][0]), float(cfg["x_grid_limits"][1]))
+    check_x_grid_limits(out.x_grid_start_rg, out.x_grid_stop_rg)
+
+    out.feb_upstream, out.feb_downstream, out.use_prp = get_feb(
+        cfg.get("FEB-upstream"), cfg.get("FEB-downstream"),
+        out.x_grid_start_rg, out.rg0)
+
+    out.x_spec = [float(x) for x in cfg.get("XSPEC", [])]
+
+    out.n_itrs = int(cfg["num-iterations"])
+    out.xn_per_coarse = float(cfg["coarse-scattering-Ng"])
+    out.xn_per_fine = float(cfg["fine-scattering-Ng"])
+
+    out.n_pts_inj = int(cfg["N_PTS_INJ"])
+    out.n_pts_pcut = int(cfg["N_PTS_PCUT"])
+    if max(out.n_pts_inj, out.n_pts_pcut) > NA_PARTICLES:
+        raise ConfigError("Array size NA_PARTICLES too small.")
+    out.n_pts_pcut_hi = int(cfg["N_PTS_PCUT_HI"])
+    out.energy_pcut_hi = float(cfg["EN_PCUT_HI"])
+    if out.n_pts_pcut_hi > NA_PARTICLES:
+        raise ConfigError("Array size NA_PARTICLES too small.")
+
+    out.pcuts = [float(p) * MP_C for p in cfg["momentum-cutoffs"]]
+    check_pcuts(out.pcuts, out.emax, out.emax_per_aa, out.pmax)
+
+    out.dont_shock = bool(cfg.get("no-shock", False))
+    out.dont_scatter = bool(cfg.get("no-scatter", False))
+    out.dont_dsa = bool(cfg.get("no-DSA", False))
+    out.do_smoothing = bool(cfg["smooth-shocks"])
+    out.prof_weight_fac = float(cfg.get("old-profile-weight", 1.0))
+    out.do_prof_fac_damp = bool(cfg.get("increase-old-profile-weighting", False))
+
+    out.smooth_mom_energy_fac = float(cfg.get("SMMOE", 0.0))
+    if not (0.0 <= out.smooth_mom_energy_fac <= 1.0):
+        raise ConfigError("SMMOE must be in [0, 1]")
+    out.smooth_pressure_flux_psd_fac = float(cfg.get("SMPFP", 0.0))
+    if not (0.0 <= out.smooth_pressure_flux_psd_fac <= 1.0):
+        raise ConfigError("SMPFP must be in [0, 1]")
+    if out.smooth_pressure_flux_psd_fac > 0:
+        # Reference rejects SMPFP > 0 pending a working PSD-pressure path
+        # (MonteCarloScattering.jl:142-147)
+        raise ConfigError("SMPFP: PSD-based pressure smoothing not supported; set 0")
+
+    out.r_comp = float(cfg["target-compression-ratio"])
+    if out.dont_shock:
+        out.r_comp = 1.0
+
+    out.do_old_prof = bool(cfg.get("read-old-profile", False))
+    if out.do_old_prof:
+        d = cfg["old-profile-config"]
+        out.n_old_skip = int(d["lines-to-skip"])
+        out.n_old_profs = int(d["profiles-to-average"])
+        out.n_old_per_prof = int(d["lines-per-profile"])
+
+    out.age_max = float(cfg.get("maximum-age", -1.0))
+    if out.age_max < 0:
+        out.age_max = -1.0
+    out.do_retro = bool(cfg.get("use-retro", out.age_max > 0))
+
+    out.do_fast_push = bool(cfg.get("fast-upstream-transport", False))
+    out.x_fast_stop_rg = (
+        float(cfg["proton-fast-transport-stop"]) if out.do_fast_push else 0.0)
+
+    art = cfg.get("artificial-smoothing", (0.0, 0.0))
+    out.x_art_start_rg, out.x_art_scale = float(art[0]), float(art[1])
+
+    out.pe_crit, out.gamma_e_crit = parse_electron_critical_energy(
+        cfg.get("electron-energy-mfp-threshold"))
+
+    out.do_rad_losses = bool(cfg.get("radiation-losses", True))
+    out.do_photons = bool(cfg.get("calculate-photon-production", False))
+    out.jet_rad_pc = float(
+        cfg["jet-shock-radius"] if out.do_photons
+        else cfg.get("jet-shock-radius", 0.0))
+    out.jet_sph_frac, out.jet_open_ang_deg = parse_jet_frac(
+        cfg.get("JETFR"), out.do_photons)
+
+    out.jet_dist_mpc = float(cfg.get("jet-distance", 1.0e-3))
+    out.redshift = float(cfg.get("redshift", 0.0))
+    if out.jet_dist_mpc > 0 and out.redshift > 0:
+        raise ConfigError(
+            "At most one of 'jet-distance' and 'redshift' may be non-zero.")
+
+    out.energy_transfer_frac = float(cfg.get("energy-transfer-frac", 0.0))
+    if not (0.0 <= out.energy_transfer_frac <= 1.0):
+        raise ConfigError("energy-transfer-frac must be in [0,1]")
+
+    shells = cfg.get("num-shells", [0, 0])
+    out.num_upstream_shells, out.num_downstream_shells = int(shells[0]), int(shells[1])
+
+    out.bturb_comp_frac = float(cfg.get("b-field-turbulence", 0.0))
+    out.bfield_amp = float(cfg.get("b-field-amplify", 1.0))
+    if out.bfield_amp < 1:
+        raise ConfigError("b-field-amplify must be >= 1")
+    if out.bfield_amp > 1 and out.bturb_comp_frac == 0:
+        raise ConfigError(
+            "b-field-amplify > 1 has no effect if b-field-turbulence = 0")
+
+    psd_bins = cfg.get("num-psd-bins-per-decade", [10, 10])
+    out.psd_bins_per_dec_mom = int(psd_bins[0])
+    out.psd_bins_per_dec_theta = int(psd_bins[1])
+    if out.psd_bins_per_dec_mom <= 0 or out.psd_bins_per_dec_theta <= 0:
+        raise ConfigError("num-psd-bins-per-decade: both must be positive.")
+
+    out.psd_lin_cos_bins = int(cfg.get("psd-linear-cosine-bins", 119))
+    if out.psd_lin_cos_bins <= 0:
+        raise ConfigError("psd-linear-cosine-bins must be positive")
+    out.psd_log_theta_decs = int(cfg.get("psd-log-theta-decs", 4))
+    if out.psd_log_theta_decs <= 0:
+        raise ConfigError("psd-log-theta-decs must be positive")
+
+    out.use_custom_frg = bool(cfg.get("use-custom-frg", False))
+    if out.use_custom_frg:
+        # scattering.jl:52-54 rejects custom f(r_g)
+        raise ConfigError("use-custom-frg: custom f(r_g) not supported")
+    out.emin_therm_fac = float(cfg.get("EMNFC", 0.01))
+    out.do_multi_dndps = bool(cfg.get("separate-dNdp-write", False))
+
+    out.do_tcuts = "TCUTS" in cfg
+    if out.do_tcuts:
+        out.tcuts = [float(t) for t in cfg["TCUTS"]]
+        if out.age_max < 0:
+            raise ConfigError("TCUTS requires maximum-age > 0.")
+        if len(out.tcuts) + 1 > NA_C:
+            raise ConfigError("TCUTS: more tcuts than NA_C allows.")
+        if out.tcuts[-1] <= 10 * out.age_max:
+            raise ConfigError("TCUTS: final tcut must be 10x larger than age_max.")
+
+    out.inj_fracs = [float(x) for x in
+                     cfg.get("INJFR", [1.0] * len(out.species))]
+    if len(out.inj_fracs) != len(out.species):
+        raise ConfigError("INJFR length must match the number of species")
+
+    out.use_custom_eps_b = bool(cfg.get("use-custom-epsB", False))
+    return out
+
+
+def load_config(path: str) -> RunConfig:
+    """Load + validate a TOML config file."""
+    with open(path, "rb") as f:
+        return config_from_dict(tomllib.load(f))
