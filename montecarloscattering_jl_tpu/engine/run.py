@@ -1,0 +1,283 @@
+"""Run orchestration: the iteration / species / pcut loop nest.
+
+Host-level replacement for main_loops (main_loops.jl:12-396): the outer
+fixed-point loop and the pcut schedule stay in Python (they are O(20)
+and O(45) trips), while each pcut segment is one jitted device program
+(ops/step.run_segment) over the whole particle batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.injection import init_pop
+from ..ops import state as stt
+from ..ops import step as stp
+from ..ops.cuts import pcut_split
+from ..ops.finish import EscapeTallies, finish_particles_jit
+from ..utils import constants as K
+from ..utils.config import RunConfig
+from ..utils.params import E_REL_PT
+from .setup import RunSetup, build_setup
+
+log = logging.getLogger("mcs.engine")
+
+
+def _round_up(n: int, m: int = 128) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class IonResult:
+    """Per-(iteration, species) tallies after all pcuts."""
+
+    psd: np.ndarray            # [n_mom+1, n_theta+1, nb]
+    therm_psd: np.ndarray
+    num_crossings: np.ndarray  # [nb]
+    esc: EscapeTallies
+    spectra_sf: np.ndarray
+    spectra_pf: np.ndarray
+    n_pushes: int = 0
+    n_trajectories: int = 0
+
+
+@dataclass
+class IterationTallies:
+    """Per-iteration flux accumulators (zeroed at main_loops.jl:56-87)."""
+
+    pxx_flux: np.ndarray
+    pxz_flux: np.ndarray
+    energy_flux: np.ndarray
+    px_esc_upstream: float = 0.0
+    energy_esc_upstream: float = 0.0
+    sum_p_downstream: float = 0.0
+    sum_ke_downstream: float = 0.0
+    weight_coupled: np.ndarray = None
+    spectra_coupled: np.ndarray = None
+
+
+@dataclass
+class TransportEngine:
+    """Builds and caches the device-side segment inputs for a run."""
+
+    setup: RunSetup
+    p_dtype: object = jnp.float64
+    psd_dtype: object = jnp.float32
+    batch_size: int = 0
+    n_pushes_total: int = 0
+    n_trajectories_total: int = 0
+
+    def __post_init__(self):
+        cfg = self.setup.cfg
+        self.batch_size = _round_up(
+            max(cfg.n_pts_inj + 64, cfg.n_pts_pcut, cfg.n_pts_pcut_hi))
+        self.n_tcut_slots = max(len(cfg.tcuts), 1)
+        self.base_key = jax.random.key(cfg.random_seed)
+
+    # -- per-segment input builders -----------------------------------------
+
+    def segment_grids(self, prof) -> stp.SegmentGrids:
+        cfg = self.setup.cfg
+        f = lambda a: jnp.asarray(a, self.p_dtype)
+        tcuts = np.full(self.n_tcut_slots, np.inf)
+        tcuts[:len(cfg.tcuts)] = cfg.tcuts
+        return stp.SegmentGrids(
+            x_grid=jnp.asarray(self.setup.x_grid_cm, jnp.float64),
+            ux=f(prof.ux_sk), uz=f(prof.uz_sk), utot=f(prof.utot),
+            gamma_sf=f(prof.gamma_sf), gamma_ef=f(prof.gamma_ef),
+            beta_ef=f(prof.beta_ef), btot=f(prof.btot),
+            b_cos=f(np.cos(prof.theta)), b_sin=f(np.sin(prof.theta)),
+            tcuts=jnp.asarray(tcuts),
+            x_spec=jnp.asarray(np.asarray(cfg.x_spec)
+                               if cfg.x_spec else np.zeros(1)),
+        )
+
+    def segment_scalars(self, i_ion: int, i_pcut: int, bmag2: float
+                        ) -> stp.SegmentScalars:
+        cfg = self.setup.cfg
+        s = cfg.species[i_ion]
+        pcut = cfg.pcuts[i_pcut]
+        pcut_prev = cfg.pcuts[i_pcut - 1] if i_pcut > 0 else 0.0
+        j = jnp.asarray
+        return stp.SegmentScalars(
+            aa=j(s.aa), abs_charge=j(abs(s.charge)), m=j(s.mass),
+            pcut=j(pcut), pcut_prev=j(pcut_prev),
+            pmax_cutoff=j(pmax_cutoff(cfg, s.mass)),
+            u2=j(self.setup.u2), bmag2=j(bmag2),
+            b_cmbz=j(self.setup.b_cmbz),
+            gamma0_u0=j(cfg.gamma0 * cfg.u0),
+            feb_up=j(cfg.feb_upstream), feb_dw=j(cfg.feb_downstream),
+            x_grid_stop=j(self.setup.x_grid_stop),
+            age_max=j(cfg.age_max), pe_crit=j(cfg.pe_crit),
+            gamma_e_crit=j(cfg.gamma_e_crit),
+            inj_frac=j(cfg.inj_fracs[i_ion]),
+        )
+
+    def step_static(self, i_ion: int) -> stp.StepStatic:
+        cfg = self.setup.cfg
+        b = self.setup.bins
+        return stp.StepStatic(
+            eta_mfp=cfg.eta_mfp, xn_per_coarse=cfg.xn_per_coarse,
+            xn_per_fine=cfg.xn_per_fine, dont_scatter=cfg.dont_scatter,
+            dont_dsa=cfg.dont_dsa, do_rad_losses=cfg.do_rad_losses,
+            do_retro=cfg.do_retro, do_tcuts=cfg.do_tcuts,
+            use_custom_eps_b=cfg.use_custom_eps_b,
+            is_electron=cfg.species[i_ion].is_electron,
+            n_xspec=len(cfg.x_spec), i_grid_feb=self.setup.i_grid_feb,
+            nb=self.setup.nb, psd_mom_min=b.psd_mom_min,
+            bins_per_dec_mom=b.bins_per_dec_mom, n_mom=b.n_mom,
+            cos_fine=b.cos_fine, dcos=b.dcos, theta_min=b.theta_min,
+            bins_per_dec_theta=b.bins_per_dec_theta, n_theta=b.n_theta)
+
+    # -- the loops ----------------------------------------------------------
+
+    def run_ion(self, i_iter: int, i_ion: int, prof,
+                it: IterationTallies) -> IonResult:
+        """All pcuts for one species (main_loops.jl:95-341 inner part)."""
+        setup, cfg, bins = self.setup, self.setup.cfg, self.setup.bins
+        s = cfg.species[i_ion]
+        nb, b = setup.nb, self.batch_size
+
+        grids = self.segment_grids(prof)
+        ss = self.step_static(i_ion)
+        ion_key = jax.random.fold_in(
+            jax.random.fold_in(self.base_key, i_iter), i_ion)
+
+        # injected population (main_loops.jl:126-153); deterministic rng
+        # keyed like the reference's Xoshiro(f(i_iter, i_ion))
+        rng = np.random.default_rng(
+            (cfg.random_seed, i_iter, i_ion))
+        pop = init_pop(
+            rng, cfg.species, i_ion, cfg.inp_distr, cfg.energy_inj,
+            cfg.inj_weight, cfg.n_pts_inj, setup.x_grid_start, cfg.rg0,
+            cfg.eta_mfp, cfg.do_fast_push, cfg.x_fast_stop_rg, cfg.beta0,
+            cfg.gamma0, cfg.u0, setup.x_grid_rg, prof.ux_sk, prof.gamma_sf)
+        # fast-push analytic flux backfill (init_pop returns zeros when
+        # not applicable)
+        it.pxx_flux += pop.pxx_flux
+        it.pxz_flux += pop.pxz_flux
+        it.energy_flux += pop.energy_flux
+
+        n0 = len(pop.ptot_pf)
+        pad = lambda a, fill=0.0: np.concatenate(
+            [np.asarray(a), np.full(b - len(a), fill,
+                                    np.asarray(a).dtype)])
+        state = stt.init_state(
+            pad(pop.weight), pad(pop.ptot_pf), pad(pop.pb_pf),
+            pad(pop.x_cm), pad(pop.i_grid).astype(np.int32),
+            pad(prof.ux_sk[pop.i_grid]), cfg.xn_per_fine,
+            setup.x_grid_stop, jax.random.fold_in(ion_key, 0),
+            p_dtype=self.p_dtype)
+
+        # per-ion accumulators (cleared per species, ion_init.jl:1-16)
+        psd_acc = np.zeros((bins.n_mom + 1, bins.n_theta + 1, nb))
+        therm_acc = np.zeros_like(psd_acc)
+        ncross_acc = np.zeros(nb)
+        spectra_sf = np.zeros((bins.n_mom + 1, max(len(cfg.x_spec), 1)))
+        spectra_pf = np.zeros_like(spectra_sf)
+        esc = EscapeTallies.zeros(bins.n_mom, bins.n_theta)
+        pushes = 0
+        trajectories = n0
+
+        p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
+
+        for i_pcut in range(len(cfg.pcuts)):
+            sc = self.segment_scalars(i_ion, i_pcut, prof.bmag2)
+            tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
+                                   len(cfg.x_spec), self.n_tcut_slots,
+                                   self.psd_dtype)
+            state, tal = stp.run_segment_jit(state, tal, grids, sc, ss)
+            fin = stt.finalize_tallies(tal)
+
+            # accumulate (scopes follow main_loops.jl:56-87 / ion_init)
+            it.pxx_flux += np.asarray(fin.pxx_flux)
+            it.pxz_flux += np.asarray(fin.pxz_flux)
+            it.energy_flux += np.asarray(fin.energy_flux)
+            it.px_esc_upstream += float(fin.px_esc_up)
+            it.energy_esc_upstream += float(fin.en_esc_up)
+            it.sum_p_downstream += float(fin.sum_p_dw) * s.number_density
+            it.sum_ke_downstream += float(fin.sum_ke_dw) * s.number_density
+            if cfg.do_tcuts:
+                it.weight_coupled[:, i_ion] += np.asarray(
+                    fin.weight_coupled)
+                it.spectra_coupled[:, :, i_ion] += np.asarray(
+                    fin.spectra_coupled)
+            psd_acc += np.asarray(fin.psd)
+            therm_acc += np.asarray(fin.therm_psd)
+            ncross_acc += np.asarray(fin.num_crossings)
+            spectra_sf += np.asarray(fin.spectra_sf)
+            spectra_pf += np.asarray(fin.spectra_pf)
+
+            esc = finish_particles_jit(state, esc, grids, sc, ss)
+            pushes += int(np.asarray(state.nsteps).sum())
+
+            # splitting (cuts.jl:34-124)
+            n_target = (cfg.n_pts_pcut if cfg.pcuts[i_pcut] < p_pcut_hi
+                        else cfg.n_pts_pcut_hi)
+            split = pcut_split(state, n_target, self.batch_size)
+            if split is None:
+                log.info("iter %d ion %d: pcut chain ended at %d",
+                         i_iter, i_ion, i_pcut)
+                break
+            trajectories += split.n
+            seg_key = jax.random.fold_in(ion_key, i_pcut + 1)
+            state = stt.init_state(
+                split.weight, np.hypot(split.pb, split.pperp), split.pb,
+                split.x, split.igrid, split.ux_prev, cfg.xn_per_fine,
+                setup.x_grid_stop, seg_key, phi=split.phi,
+                downstream=split.downstream, inj=split.inj,
+                acctime=split.acctime, tcut=split.tcut,
+                xn_per=split.xn_per, p_dtype=self.p_dtype)
+            # preserve per-lane PRP from the saved state
+            state = state._replace(
+                prp_x=jnp.asarray(split.prp_x, jnp.float64))
+
+        self.n_pushes_total += pushes
+        self.n_trajectories_total += trajectories
+        return IonResult(
+            psd=psd_acc, therm_psd=therm_acc, num_crossings=ncross_acc,
+            esc=jax.tree.map(np.asarray, esc),
+            spectra_sf=spectra_sf, spectra_pf=spectra_pf,
+            n_pushes=pushes, n_trajectories=trajectories)
+
+    def new_iteration_tallies(self) -> IterationTallies:
+        cfg, nb = self.setup.cfg, self.setup.nb
+        n_mom = self.setup.bins.n_mom
+        return IterationTallies(
+            pxx_flux=np.zeros(nb), pxz_flux=np.zeros(nb),
+            energy_flux=np.zeros(nb),
+            weight_coupled=np.zeros((self.n_tcut_slots, cfg.n_ions)),
+            spectra_coupled=np.zeros((n_mom + 1, self.n_tcut_slots,
+                                      cfg.n_ions)),
+        )
+
+
+def pmax_cutoff(cfg: RunConfig, mass: float) -> float:
+    """Per-species maximum momentum (get_pmax_cutoff, ion_init.jl:55-72)."""
+    e0 = mass * K.C_CGS**2
+    if cfg.emax > 0:
+        g = 1.0 + cfg.emax / e0
+        return mass * K.C_CGS * math.sqrt(g * g - 1.0)
+    if cfg.emax_per_aa > 0:
+        g = 1.0 + cfg.emax_per_aa / e0
+        return mass * K.C_CGS * math.sqrt(g * g - 1.0)
+    if cfg.pmax > 0:
+        return cfg.pmax
+    raise ValueError("maximum energy not set")
+
+
+def pcut_hi_momentum(energy_pcut_hi_kev: float, mass: float) -> float:
+    """Momentum above which the high-E particle count applies
+    (pcut_hi, ion_init.jl:74-82).  energy_pcut_hi is keV per nucleon;
+    the nonrelativistic branch restores the m*c scale the reference
+    drops."""
+    e_rm = energy_pcut_hi_kev * K.KEV_ERG / (K.MP_C2)
+    if e_rm < E_REL_PT:
+        return mass * K.C_CGS * math.sqrt(2.0 * e_rm)
+    return mass * K.C_CGS * math.sqrt((e_rm + 1.0) ** 2 - 1.0)
