@@ -1,0 +1,173 @@
+"""Output files: run reports and plot-ready grids.
+
+Mirrors the reference's L6 surface (io.jl, smoothers.jl:234-272,
+particle_counter.jl:786-931): mc_out.dat run summary, mc_grid.dat
+33-column convergence dashboard, mc_dNdp_grid_{therm,CR}[_i].dat
+spectra, and mc_coupled_{weights,spectra}.csv tcut tracking.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..utils import constants as K
+
+
+def _log10s(x):
+    return np.log10(np.maximum(np.asarray(x, float), 1e-99))
+
+
+def write_mc_grid(result, path: str) -> None:
+    """33-column per-zone dashboard, one block per iteration
+    (smoothers.jl:234-272 column list)."""
+    setup = result.setup
+    nb = setup.nb
+    x_rg = setup.x_grid_rg
+    x_cm = setup.x_grid_cm
+    with open(path, "w") as f:
+        cols = ("i_iter i x_rg x_log x_cm x_log_cm pxx_norm pxx_norm_log "
+                "pxz_norm pxz_norm_log en_norm en_norm_log ux_norm "
+                "ux_norm_log uz_norm uz_norm_log B B_log theta_deg "
+                "gamma_sf inv_density_ratio density_ratio log_P_px "
+                "log_P_en log_P_par log_P_perp log_P_tot aniso "
+                "log_P_px_tp log_P_en_tp log_P0 log_rem_px log_rem_en "
+                "epsB epsB_log")
+        f.write("# " + cols + "\n")
+        p0 = sum(s.number_density * s.temperature
+                 for s in setup.cfg.species) * K.KB_CGS
+        for i_iter, itr in enumerate(result.iterations):
+            prof = itr.profile_after
+            d = itr.diag
+            p_par = sum(fi.p_psd_par for fi in itr.ion_finals)
+            p_perp = sum(fi.p_psd_perp for fi in itr.ion_finals)
+            for i in range(1, nb - 1):
+                x_log = (-np.log10(-x_rg[i]) if x_rg[i] < -1
+                         else (np.log10(x_rg[i]) if x_rg[i] > 1 else 0.0))
+                x_log_cm = (0.0 if x_cm[i] == 0 else
+                            np.sign(x_rg[i]) * np.log10(abs(x_cm[i])))
+                ux_norm = prof.ux_sk[i] / prof.ux_sk[1]
+                row = [
+                    i_iter + 1, i, x_rg[i], x_log, x_cm[i], x_log_cm,
+                    d.pxx_norm[i], _log10s(abs(d.pxx_norm[i])),
+                    d.pxz_norm[i], -99.0,
+                    d.energy_norm[i], _log10s(abs(d.energy_norm[i])),
+                    ux_norm, _log10s(ux_norm), 1e-99, -99.0,
+                    prof.btot[i], _log10s(prof.btot[i]),
+                    np.degrees(prof.theta[i]), prof.gamma_sf[i],
+                    1.0 / max(setup.cfg.gamma0 * setup.cfg.beta0
+                              / max(prof.gamma_sf[i] * prof.ux_sk[i]
+                                    / K.C_CGS, 1e-30), 1e-30),
+                    setup.cfg.gamma0 * setup.cfg.beta0
+                    / max(prof.gamma_sf[i] * prof.ux_sk[i] / K.C_CGS,
+                          1e-30),
+                    _log10s(d.pressure_px[i]), _log10s(d.pressure_energy[i]),
+                    _log10s(p_par[i]), _log10s(p_perp[i]),
+                    _log10s(d.pressure_tot_mc[i]), d.pressure_aniso[i],
+                    _log10s(d.pressure_px_tp), _log10s(d.pressure_energy_tp),
+                    _log10s(p0), _log10s(1 - itr.q_esc_px),
+                    _log10s(1 - itr.q_esc_en),
+                    prof.eps_b[i], _log10s(prof.eps_b[i]),
+                ]
+                f.write(" ".join(f"{v:.7e}" if isinstance(v, float)
+                                 else str(v) for v in row) + "\n")
+
+
+def write_dndp(result, out_dir: str) -> None:
+    """Per-zone dN/dp spectra for thermal and CR populations
+    (mc_dNdp_grid_{therm,CR}[_i].dat, particle_counter.jl:786-931)."""
+    setup = result.setup
+    bins = setup.bins
+    logp = bins.mom_bounds_log[:-1]
+    logp_nat = logp - np.log10(K.MP_C)
+    for i_iter, itr in enumerate(result.iterations):
+        suffix = (f"_{i_iter + 1}" if setup.cfg.do_multi_dndps else "")
+        for name, attr in (("therm", "dndp_therm"), ("CR", "dndp_cr")):
+            path = os.path.join(out_dir, f"mc_dNdp_grid_{name}{suffix}.dat")
+            with open(path, "w") as f:
+                f.write("# i_zone i_ion log_p_cgs log_p_natural "
+                        "log_dNdp_sf log_dNdp_pf log_dNdp_ism\n")
+                for i_ion, fi in enumerate(itr.ion_finals):
+                    dn = getattr(fi, attr)
+                    for i in range(1, setup.nb - 1):
+                        if dn[:, i, :].max() <= 1e-66:
+                            continue
+                        for j in range(bins.n_mom + 1):
+                            f.write(
+                                f"{i} {i_ion + 1} {logp[j]:.5f} "
+                                f"{logp_nat[j]:.5f} "
+                                f"{_log10s(dn[j, i, 0]):.5e} "
+                                f"{_log10s(dn[j, i, 1]):.5e} "
+                                f"{_log10s(dn[j, i, 2]):.5e}\n")
+        if not setup.cfg.do_multi_dndps:
+            break  # single file covers the final iteration only
+
+
+def write_coupled(result, out_dir: str) -> None:
+    """Time-resolved coupled weights and spectra
+    (tcut_print, io.jl:21-76)."""
+    setup = result.setup
+    cfg = setup.cfg
+    if not cfg.do_tcuts:
+        return
+    wpath = os.path.join(out_dir, "mc_coupled_weights.csv")
+    spath = os.path.join(out_dir, "mc_coupled_spectra.csv")
+    with open(wpath, "w") as fw, open(spath, "w") as fs:
+        fw.write("i_iter,i_ion,i_tcut,tcut_s,weight_coupled\n")
+        fs.write("i_iter,i_ion,i_tcut,log_p_cgs,spectra_coupled\n")
+        logp = setup.bins.mom_bounds_log[:-1]
+        for i_iter, itr in enumerate(result.iterations):
+            w = itr.tallies.weight_coupled
+            s = itr.tallies.spectra_coupled
+            for i_ion in range(cfg.n_ions):
+                for k, t in enumerate(cfg.tcuts):
+                    fw.write(f"{i_iter + 1},{i_ion + 1},{k + 1},{t:g},"
+                             f"{w[k, i_ion]:.6e}\n")
+                    for j in range(setup.bins.n_mom + 1):
+                        if s[j, k, i_ion] > 0:
+                            fs.write(f"{i_iter + 1},{i_ion + 1},{k + 1},"
+                                     f"{logp[j]:.4f},"
+                                     f"{s[j, k, i_ion]:.6e}\n")
+
+
+def write_mc_out(result, path: str) -> None:
+    """Run summary (mc_out.dat; MonteCarloScattering.jl:371-412,
+    iter_finalize.jl:73-126)."""
+    setup = result.setup
+    cfg = setup.cfg
+    with open(path, "w") as f:
+        f.write("MonteCarloScattering TPU framework run summary\n\n")
+        f.write(f"shock: u0={cfg.u0:.6e} cm/s beta0={cfg.beta0:.6f} "
+                f"gamma0={cfg.gamma0:.4f}\n")
+        f.write(f"r_RH={setup.r_rh:.5f} Gamma2_RH={setup.gamma2_rh:.5f} "
+                f"r_comp={setup.r_comp:.5f}\n")
+        f.write(f"Mach sonic={setup.mach_sonic:.2f} "
+                f"alfven={setup.mach_alfven:.2f}\n")
+        f.write(f"rg0={cfg.rg0:.6e} cm; grid {setup.n_grid} zones; "
+                f"shock index {setup.i_shock}\n")
+        f.write(f"F_px_upstream={setup.f_px_upstream:.6e} erg/cm^3\n")
+        f.write(f"F_energy_upstream={setup.f_energy_upstream:.6e} "
+                f"erg/cm^2/s\n\n")
+        for i, itr in enumerate(result.iterations):
+            f.write(f"Iteration {i + 1}\n")
+            f.write(f"  esc momentum flux / upstream = "
+                    f"{itr.px_esc_frac:.6e} (predicted "
+                    f"{itr.q_esc_px:.6e})\n")
+            f.write(f"  esc energy flux / upstream   = "
+                    f"{itr.en_esc_frac:.6e} (predicted "
+                    f"{itr.q_esc_en:.6e})\n")
+            f.write(f"  adiab index downstream PRP particles = "
+                    f"{itr.gamma_downstream:.5f} (R-H "
+                    f"{setup.gamma2_rh:.5f})\n")
+        f.write(f"\npushes={result.n_pushes} "
+                f"trajectories={result.n_trajectories} "
+                f"wall={result.wall_time:.1f}s\n")
+
+
+def write_outputs(result, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    write_mc_out(result, os.path.join(out_dir, "mc_out.dat"))
+    write_mc_grid(result, os.path.join(out_dir, "mc_grid.dat"))
+    write_dndp(result, out_dir)
+    write_coupled(result, out_dir)

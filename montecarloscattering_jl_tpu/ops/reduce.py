@@ -1,0 +1,343 @@
+"""Reduction layer: PSD -> spectra, zone populations, pressures.
+
+Array re-design of the reference's reduction stack:
+  * transform_psd_corners + identify_corners + get_transform_dN
+    (transformers.jl:29-312,634-682; identify_corners.jl:30-245)
+    become one dense rebinning: each PSD cell's four transformed
+    corners are sorted, giving (p_lo, p_peak, p_hi) for the scalene
+    triangular weight distribution (i_approx = 2, the reference's
+    production choice, particle_counter.jl:72), and the per-bin
+    fractions come from the analytic triangle CDF evaluated at all
+    target bin edges at once — no per-cell control flow.
+  * get_dNdp_cr (particle_counter.jl:29-306): dN/dp per zone in shock /
+    plasma / ISM frames.
+  * thermal crossings: the reference keeps a crossing list + scratch
+    file and histograms it later (all_flux.jl:238-256,
+    thermo_calcs.jl:84-163); the transport kernel already histogrammed
+    them into `therm_psd` with the same (p, theta, zone) bins, so the
+    thermal reductions reuse the CR machinery.  This also makes
+    get_dNdp_therm real instead of the reference's debugging stub
+    (particle_counter.jl:991-992).
+  * get_normalized_dNdp (particle_counter.jl:674-934): zone populations
+    from flux x area x dwell time, then dN/dp normalization.
+  * thermo_calcs (thermo_calcs.jl:29-352): anisotropic pressure and
+    kinetic-energy density from center-point rebinned d2N.
+  * get_dNdp_2D (particle_counter.jl:343-613): ISM-frame d2N/(dp dcos)
+    for electron inverse-Compton.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.psd_bins import PsdBins, psd_bin_angle, psd_bin_momentum
+from ..utils.constants import C_CGS, KB_CGS, PC_CM
+from .transforms import boost_x
+
+
+# ---------------------------------------------------------------------------
+# corner-transform rebinning (CR dN/dp)
+# ---------------------------------------------------------------------------
+
+def corner_logp(gamma, e0: float, mom_edges: np.ndarray,
+                cos_bounds: np.ndarray):
+    """Transformed corner log10-momenta [n_mom+2, n_theta+2]
+    (transform_psd_corners, transformers.jl:634-682).
+
+    `mom_edges` are linear momenta (10**bounds); `cos_bounds` the true
+    pitch-cosine bounds from PsdBins.cos_bounds().
+    """
+    beta = jnp.where(gamma >= 1.000001,
+                     jnp.sqrt(jnp.maximum(1.0 - 1.0 / gamma**2, 0.0)), 0.0)
+    pt = mom_edges[:, None]
+    ct = cos_bounds[None, :]
+    px = pt * ct
+    etot = jnp.hypot(pt * C_CGS, e0)
+    px_t = gamma * (px - beta * etot / C_CGS)
+    pt_t = jnp.sqrt(jnp.maximum(pt**2 + px_t**2 - px**2, 1.0e-300))
+    return jnp.log10(pt_t)
+
+
+def _triangle_cdf(x, lo, peak, hi):
+    """CDF of the triangular distribution on [lo, hi] peaked at `peak`,
+    robust to degenerate (point-like) cells."""
+    width = hi - lo
+    tinyw = width <= 1.0e-12
+    d1 = jnp.maximum((peak - lo) * width, 1.0e-30)
+    d2 = jnp.maximum((hi - peak) * width, 1.0e-30)
+    up = (x - lo) ** 2 / d1
+    down = 1.0 - (hi - x) ** 2 / d2
+    cdf = jnp.where(x <= peak, up, down)
+    cdf = jnp.where(x <= lo, 0.0, jnp.where(x >= hi, 1.0, cdf))
+    return jnp.where(tinyw, (x >= lo).astype(x.dtype), cdf)
+
+
+def _rebin_matrix(corner_lp, edges_log):
+    """[n_cells, n_bins] fraction matrix from the cell corner log-p grid.
+
+    Cells (i, j) own corners {(i,j),(i+1,j),(i,j+1),(i+1,j+1)}; sorting
+    them yields p_lo/p_hi and the scalene peak at the mean of the two
+    middle corners (identify_corners + i_approx=2,
+    transformers.jl:209-312).
+    """
+    c00 = corner_lp[:-1, :-1]
+    c10 = corner_lp[1:, :-1]
+    c01 = corner_lp[:-1, 1:]
+    c11 = corner_lp[1:, 1:]
+    stack = jnp.stack([c00, c10, c01, c11], axis=-1)
+    lo = jnp.min(stack, axis=-1)
+    hi = jnp.max(stack, axis=-1)
+    peak = (jnp.sum(stack, axis=-1) - lo - hi) / 2.0
+    lo = lo.reshape(-1, 1)
+    hi = hi.reshape(-1, 1)
+    peak = peak.reshape(-1, 1)
+    # extend the last bin to +inf so overflow lands there, matching the
+    # reference's clamp-to-top-bin warnings (transformers.jl:68-92)
+    e = jnp.concatenate([edges_log[:-1], jnp.asarray([1.0e9])])
+    cdf = _triangle_cdf(e[None, :], lo, peak, hi)
+    return cdf[:, 1:] - cdf[:, :-1]
+
+
+@partial(jax.jit, static_argnames=("n_mom", "n_theta"))
+def _dn_transformed(psd_zone, gamma, e0, mom_edges, cos_bounds, edges_log,
+                    n_mom: int, n_theta: int):
+    """dN(p) of one zone's PSD slice in the frame reached by boosting
+    with `gamma` (get_transform_dN, transformers.jl:29-170)."""
+    clp = corner_logp(gamma, e0, mom_edges, cos_bounds)
+    m = _rebin_matrix(clp, edges_log)
+    w = (psd_zone / gamma).reshape(-1)
+    return w @ m
+
+
+def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float):
+    """dN/dp [n_mom+1, nb, 3] in (shock, plasma, ISM) frames
+    (get_dNdp_cr, particle_counter.jl:29-306).
+
+    `psd` is [n_mom+1, n_theta+1, nb].
+    """
+    mom_edges = jnp.asarray(bins.mom_edges)
+    cos_bounds = jnp.asarray(bins.cos_bounds())
+    edges_log = jnp.asarray(bins.mom_bounds_log)
+    nb = psd.shape[-1]
+
+    dn_sf = psd.sum(axis=1)                       # [n_mom+1, nb]
+
+    def per_zone(args):
+        psd_z, g = args
+        return _dn_transformed(psd_z, g, e0, mom_edges, cos_bounds,
+                               edges_log, bins.n_mom, bins.n_theta)
+
+    psd_t = jnp.moveaxis(psd, -1, 0)              # [nb, n_mom+1, n_theta+1]
+    dn_pf = jax.lax.map(per_zone, (psd_t, jnp.asarray(gamma_sf_grid))).T
+    dn_ef = jax.lax.map(
+        per_zone, (psd_t, jnp.full(nb, gamma0))).T
+
+    dn = jnp.stack([dn_sf, dn_pf, dn_ef], axis=-1)
+    dp = jnp.diff(mom_edges)[:, None, None]
+    return dn / dp
+
+
+# ---------------------------------------------------------------------------
+# zone populations (set_grid_volumes!, particle_counter.jl:1466-1524)
+# ---------------------------------------------------------------------------
+
+def zone_populations(x_grid_cm: np.ndarray, i_shock: int, n0_ion: float,
+                     beta0: float, gamma0: float, jet_rad_pc: float,
+                     jet_sph_frac: float, ux_sk_grid: np.ndarray,
+                     gamma_sf_grid: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(zone_pop, zone_vol) per boundary index (length nb).
+
+    zone_pop = upstream particle flux x shell surface area x dwell
+    time.  With no jet geometry configured (jet_rad = 0) the area
+    factor degenerates to unit area, giving populations per cm^2 of
+    shock face — the normalization cancels wherever zone_pop is used
+    against tallies with the same convention.
+    """
+    nb = len(x_grid_cm)
+    dx = np.diff(x_grid_cm)
+    surf = np.ones(nb)
+    if jet_rad_pc > 0:
+        jet_rad_cm = jet_rad_pc * PC_CM
+        rad_min = jet_rad_cm - x_grid_cm[i_shock]
+        for i in range(i_shock - 1, 0, -1):
+            rad_max = rad_min + dx[i] / gamma0
+            surf[i] = math.pi * (rad_max + rad_min) ** 2 * jet_sph_frac
+            rad_min = rad_max
+        rad_max = jet_rad_cm - x_grid_cm[i_shock]
+        for i in range(i_shock, nb - 1):
+            rad_min = rad_max - dx[i] / gamma0
+            surf[i] = math.pi * (rad_max + rad_min) ** 2 * jet_sph_frac
+            rad_max = rad_min
+
+    zone_pop = np.zeros(nb)
+    zone_vol = np.zeros(nb)
+    f_up = gamma0 * n0_ion * beta0 * C_CGS
+    for i in range(1, nb - 1):
+        dwell = dx[i] / ux_sk_grid[i]
+        zone_pop[i] = f_up * surf[i] * dwell
+        density_pf = gamma0 * ux_sk_grid[1] / (gamma_sf_grid[i]
+                                               * ux_sk_grid[i])
+        zone_vol[i] = zone_pop[i] / max(density_pf, 1e-300)
+    return zone_pop, zone_vol
+
+
+def normalize_dndp(dndp_cr_arr, dndp_therm_arr, mom_edges, zone_pop,
+                   n0_ion: float, gamma0: float, ux_sk_grid,
+                   gamma_sf_grid):
+    """Normalize thermal + CR dN/dp so each zone integrates to its
+    population (get_normalized_dNdp, particle_counter.jl:730-778).
+
+    Arrays are [n_mom+1, nb, 3]; returns the pair normalized in place
+    (as new arrays).
+    """
+    dp = np.diff(np.asarray(mom_edges))[:, None, None]
+    area_therm = (np.asarray(dndp_therm_arr) * dp).sum(axis=0)   # [nb, 3]
+    area_cr = (np.asarray(dndp_cr_arr) * dp).sum(axis=0)
+    # fast-push zones with no thermal crossings approximate the thermal
+    # area by the compressed density / local speed
+    # (particle_counter.jl:756-758)
+    density_pf = (gamma0 * np.asarray(ux_sk_grid)[1]
+                  / (np.asarray(gamma_sf_grid) * np.asarray(ux_sk_grid)))
+    area_tot = np.where((area_therm == 0) & (area_cr > 0),
+                        (n0_ion * density_pf[:, None]
+                         / np.asarray(ux_sk_grid)[:, None]) + area_cr,
+                        area_therm + area_cr)
+    ok = area_tot > 0
+    norm = np.zeros_like(area_tot)
+    np.divide(np.broadcast_to(np.asarray(zone_pop)[:, None],
+                              area_tot.shape),
+              area_tot, out=norm, where=ok)
+    return (np.asarray(dndp_therm_arr) * norm[None, :, :],
+            np.asarray(dndp_cr_arr) * norm[None, :, :])
+
+
+# ---------------------------------------------------------------------------
+# center-point rebinned d2N + pressures (thermo_calcs.jl, get_dNdp_2D)
+# ---------------------------------------------------------------------------
+
+def d2n_boosted(psd_total, gammas, betas, e0, bins: PsdBins):
+    """Boost the combined (CR + thermal) shock-frame d2N histogram into
+    per-zone frames by center-point rebinning
+    (thermo_calcs.jl:179-208, get_dNdp_2D's m=1 branch).
+
+    psd_total: [n_mom+1, n_theta+1, nb]; gammas/betas: [nb].
+    Returns d2N in the boosted frame, same shape.
+    """
+    p_cent = jnp.asarray(bins.mom_centers)          # [n_mom+1]
+    cos_cent = jnp.asarray(bins.cos_centers())      # [n_theta+1]
+    pt = p_cent[:, None] * jnp.ones_like(cos_cent)[None, :]
+    px = p_cent[:, None] * cos_cent[None, :]
+
+    def one_zone(args):
+        w, g, b = args
+        pt_t, px_t = boost_x(pt, px, g, b, e0, C_CGS)
+        ip = psd_bin_momentum(pt_t, bins.psd_mom_min, bins.bins_per_dec_mom,
+                              bins.n_mom)
+        jt = psd_bin_angle(px_t, pt_t, bins.cos_fine, bins.dcos,
+                           bins.theta_min, bins.bins_per_dec_theta,
+                           bins.n_theta)
+        out = jnp.zeros_like(w)
+        return out.at[ip, jt].add(w)
+
+    psd_t = jnp.moveaxis(psd_total, -1, 0)
+    out = jax.lax.map(one_zone, (psd_t, jnp.asarray(gammas),
+                                 jnp.asarray(betas)))
+    return jnp.moveaxis(out, 0, -1)
+
+
+def thermo_calcs(psd, therm_psd, bins: PsdBins, m_ion: float,
+                 zone_pop, num_crossings, n0_ion: float, t0_ion: float,
+                 zz_ion: float, beta0: float, gamma0: float,
+                 ux_sk_grid, gamma_sf_grid):
+    """Anisotropic pressure + kinetic-energy density per zone
+    (thermo_calcs.jl:29-352).
+
+    Returns (P_par, P_perp, energy_density) arrays of length nb.
+    """
+    e0 = m_ion * C_CGS**2
+    mc = m_ion * C_CGS
+    nb = psd.shape[-1]
+    gam = np.asarray(gamma_sf_grid)
+    bet = np.asarray(ux_sk_grid) / C_CGS
+
+    d2n = np.asarray(d2n_boosted(jnp.asarray(psd + therm_psd),
+                                 gam, bet, e0, bins))
+
+    p_cent = bins.mom_centers
+    cos_cent = bins.cos_centers()
+    vel = p_cent * C_CGS / (mc * np.hypot(1.0, p_cent / mc))
+    g_cent = np.hypot(1.0, p_cent / mc)
+
+    p_par = np.zeros(nb)
+    p_perp = np.zeros(nb)
+    e_dens = np.zeros(nb)
+    ncross = np.asarray(num_crossings)
+    zpop = np.asarray(zone_pop)
+
+    for i in range(1, nb - 1):
+        density_loc = (gamma0 * beta0 * n0_ion
+                       / max(math.sqrt(max(gam[i] ** 2 - 1.0, 1e-300)),
+                             1e-300))
+        has_parts = d2n[:, :, i].max() > 0
+        if (not has_parts) and ncross[i] == 0:
+            # case 1: untracked thermal plasma only — analytic adiabatic
+            # pressure (thermo_calcs.jl:258-279)
+            pres = density_loc ** (5.0 / 3.0) * KB_CGS * t0_ion
+            p_par[i] = pres / 3.0
+            p_perp[i] = 2.0 * pres / 3.0
+            e_dens[i] = 1.5 * pres
+            continue
+        if ncross[i] == 0:
+            # case 2: CRs only; thermal part analytic, scaled by the
+            # untracked fraction (thermo_calcs.jl:281-306)
+            pres = density_loc ** (5.0 / 3.0) * KB_CGS * t0_ion
+            d2n_pop = d2n[:, :, i].sum()
+            pres *= max(1.0 - d2n_pop / max(zpop[i], 1e-300), 0.0)
+            p_par[i] = pres / 3.0
+            p_perp[i] = 2.0 * pres / 3.0
+            e_dens[i] = 1.5 * pres
+        norm = density_loc / max(zpop[i], 1e-300)
+        w = d2n[:, :, i] * norm
+        pf = (p_cent * vel / 3.0)[:, None]
+        mu2 = (cos_cent ** 2)[None, :]
+        p_par[i] += float((w * pf * mu2).sum())
+        p_perp[i] += float((w * pf * (1.0 - mu2)).sum())
+        e_dens[i] += float((w * ((g_cent - 1.0) * e0)[:, None]).sum())
+
+    return p_par, p_perp, e_dens
+
+
+def dndp_2d_ef(psd, therm_psd, bins: PsdBins, m_ion: float, zone_pop,
+               num_crossings, n0_ion: float, beta0: float, gamma0: float):
+    """ISM-frame d2N/(dp dcos) for the electron IC calculation
+    (get_dNdp_2D, particle_counter.jl:343-613).
+
+    Combines CR + thermal shock-frame histograms, normalizes each zone
+    to its population, boosts cell centers into the ISM frame, and
+    returns d2N/dp (per-dp, split by angle bin) [n_mom+1, n_theta+1, nb].
+    """
+    e0 = m_ion * C_CGS**2
+    nb = psd.shape[-1]
+    total = np.asarray(psd + therm_psd)
+    dp = np.diff(bins.mom_edges)
+
+    # normalize to zone populations (particle_counter.jl:480-518)
+    density_tot = total.sum(axis=(0, 1))
+    density_tot = np.where((np.asarray(num_crossings) == 0)
+                           & (density_tot > 0),
+                           density_tot + n0_ion, density_tot)
+    norm = np.zeros_like(density_tot)
+    np.divide(np.asarray(zone_pop), density_tot, out=norm,
+              where=density_tot > 0)
+    total = total * norm[None, None, :]
+
+    out = np.asarray(d2n_boosted(
+        jnp.asarray(total), np.full(nb, gamma0), np.full(nb, beta0),
+        e0, bins))
+    return out / dp[:, None, None]
