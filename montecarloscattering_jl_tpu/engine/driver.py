@@ -58,6 +58,7 @@ class IterationResult:
     px_esc_frac: float
     en_esc_frac: float
     profile_after: object = None
+    emission: object = None     # EmissionResult when do_photons
 
 
 @dataclass
@@ -196,10 +197,14 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
             px_esc_frac=px_esc_hist[i_iter],
             en_esc_frac=en_esc_hist[i_iter],
             profile_after=prof_new)
+        if cfg.do_photons:
+            # photon production per shell/zone (ion_finalize.jl:72-78)
+            from ..models.emission import photon_calcs
+            itres.emission = photon_calcs(setup, prof, ion_finals,
+                                          i_iter)
+            if emission_hook is not None:
+                emission_hook(setup, prof, ion_finals, i_iter)
         result.iterations.append(itres)
-
-        if emission_hook is not None and cfg.do_photons:
-            emission_hook(setup, prof, ion_finals, i_iter)
 
         prof = prof_new
 

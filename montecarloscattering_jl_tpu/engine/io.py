@@ -165,9 +165,70 @@ def write_mc_out(result, path: str) -> None:
                 f"wall={result.wall_time:.1f}s\n")
 
 
+def write_photons(result, out_dir: str) -> None:
+    """Per-zone and summed photon spectra (photon_synch.jl:109-131,
+    inverse_compton.jl:107-155, photon_pion_decay.jl:114-176,
+    get_summed_emission.jl:327-406)."""
+    em = result.iterations[-1].emission
+    if em is None:
+        return
+
+    def grid_file(name, e_gamma, grid):
+        path = os.path.join(out_dir, f"photon_{name}_grid.dat")
+        with open(path, "w") as f:
+            f.write("# i_zone log_photon_flux log_E_MeV "
+                    "log_energy_flux_MeV log_dN_dE\n")
+            e_mev = e_gamma / K.MEV_ERG
+            for i in range(grid.shape[1]):
+                col = grid[:, i]
+                if col.max() <= 1e-90:
+                    continue
+                emis_mev = col / K.MEV_ERG
+                pf = np.where(emis_mev > 1e-99, emis_mev / e_mev, 1e-99)
+                for j in range(len(e_gamma) - 1):
+                    f.write(f"{i} {_log10s(pf[j]):.5f} "
+                            f"{np.log10(e_mev[j]):.5f} "
+                            f"{_log10s(emis_mev[j]):.5f} "
+                            f"{_log10s(pf[j] / e_mev[j]):.5f}\n")
+
+    grid_file("pion_decay", em.e_pion, em.pion_grid)
+    grid_file("synch", em.e_synch, em.synch_grid)
+    grid_file("IC", em.e_ic, em.ic_grid)
+
+    def summed_file(name, e_gamma, shells):
+        path = os.path.join(out_dir, f"photon_{name}_summed.dat")
+        with open(path, "w") as f:
+            f.write("# i_shell log_photon_flux log_E_MeV "
+                    "log_energy_flux_MeV\n")
+            e_mev = e_gamma / K.MEV_ERG
+            for n in range(shells.shape[1]):
+                for j in range(len(e_gamma) - 1):
+                    v = shells[j, n] / K.MEV_ERG
+                    pf = v / e_mev[j] if v > 1e-99 else 1e-99
+                    f.write(f"{n + 1} {_log10s(pf):.5f} "
+                            f"{np.log10(e_mev[j]):.5f} "
+                            f"{_log10s(v):.5f}\n")
+
+    summed_file("pion", em.e_pion, em.pion_shell)
+    summed_file("synch", em.e_synch, em.synch_shell)
+    summed_file("IC", em.e_ic, em.ic_shell)
+    summed_file("tot", em.e_tot, em.tot_shell)
+
+    with open(os.path.join(out_dir, "photon_tot.dat"), "w") as f:
+        f.write("# log_E_MeV log_energy_flux_MeV log_photon_flux\n")
+        e_mev = em.e_tot / K.MEV_ERG
+        for j in range(len(em.e_tot)):
+            v = em.tot[j] / K.MEV_ERG
+            pf = v / e_mev[j] if v > 1e-99 else 1e-99
+            f.write(f"{np.log10(e_mev[j]):.5f} {_log10s(v):.5f} "
+                    f"{_log10s(pf):.5f}\n")
+
+
 def write_outputs(result, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     write_mc_out(result, os.path.join(out_dir, "mc_out.dat"))
     write_mc_grid(result, os.path.join(out_dir, "mc_grid.dat"))
     write_dndp(result, out_dir)
     write_coupled(result, out_dir)
+    if result.setup.cfg.do_photons and result.iterations:
+        write_photons(result, out_dir)
