@@ -64,11 +64,17 @@ class IterationTallies:
 
 @dataclass
 class TransportEngine:
-    """Builds and caches the device-side segment inputs for a run."""
+    """Builds and caches the device-side segment inputs for a run.
+
+    With `mesh` set (> 1 device), segments run under shard_map with the
+    particle batch sharded over the 'dp' axis and tallies psum-reduced
+    (parallel/shard.py); single-device runs use the plain jitted path.
+    """
 
     setup: RunSetup
     p_dtype: object = jnp.float64
     psd_dtype: object = jnp.float32
+    mesh: object = None
     batch_size: int = 0
     n_pushes_total: int = 0
     n_trajectories_total: int = 0
@@ -79,6 +85,22 @@ class TransportEngine:
             max(cfg.n_pts_inj + 64, cfg.n_pts_pcut, cfg.n_pts_pcut_hi))
         self.n_tcut_slots = max(len(cfg.tcuts), 1)
         self.base_key = jax.random.key(cfg.random_seed)
+        self._sharded_seg = {}
+        if self.mesh is not None and self.mesh.size > 1:
+            from ..parallel.shard import pad_to_devices
+            self.batch_size = pad_to_devices(self.batch_size,
+                                             self.mesh.size)
+
+    def _segment_runner(self, ss):
+        """Plain or sharded segment executor for a static config."""
+        if self.mesh is None or self.mesh.size <= 1:
+            return stp.run_segment_jit
+        if ss not in self._sharded_seg:
+            from ..parallel.shard import sharded_run_segment
+            f = sharded_run_segment(self.mesh, ss)
+            self._sharded_seg[ss] = lambda st, tl, gr, sc, _ss: f(
+                st, tl, gr, sc)
+        return self._sharded_seg[ss]
 
     # -- per-segment input builders -----------------------------------------
 
@@ -187,12 +209,13 @@ class TransportEngine:
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
 
+        seg_run = self._segment_runner(ss)
         for i_pcut in range(len(cfg.pcuts)):
             sc = self.segment_scalars(i_ion, i_pcut, prof.bmag2)
             tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
                                    len(cfg.x_spec), self.n_tcut_slots,
                                    self.psd_dtype)
-            state, tal = stp.run_segment_jit(state, tal, grids, sc, ss)
+            state, tal = seg_run(state, tal, grids, sc, ss)
             fin = stt.finalize_tallies(tal)
 
             # accumulate (scopes follow main_loops.jl:56-87 / ion_init)
