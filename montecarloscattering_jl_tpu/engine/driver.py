@@ -117,17 +117,27 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
 
 
 def run(cfg: RunConfig | str, out_dir: str | None = None,
-        emission_hook=None) -> RunResult:
+        emission_hook=None, p_dtype=None, mesh=None,
+        checkpoint: str | None = None,
+        resume: str | None = None) -> RunResult:
     """Full nonlinear run (main_loops.jl:52-391).
 
     `emission_hook(setup, prof, ion_finals, i_iter)` is called after
     each iteration's species loop when photon production is enabled.
+    `p_dtype` selects the momentum precision (float64 default; float32
+    keeps positions/times in float64).  `mesh` shards the particle
+    batch over devices.  `checkpoint`/`resume` persist the nonlinear
+    fixed-point state between processes (the restart the reference
+    never implemented, MonteCarloScattering.jl:462).
     """
     t_start = time.time()
     if isinstance(cfg, str):
         cfg = load_config(cfg)
     setup = build_setup(cfg)
-    engine = TransportEngine(setup)
+    kw = {}
+    if p_dtype is not None:
+        kw["p_dtype"] = p_dtype
+    engine = TransportEngine(setup, mesh=mesh, **kw)
     prof = setup.profile
     nb = setup.nb
 
@@ -138,13 +148,29 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     en_esc_hist = np.zeros(cfg.n_itrs)
     gamma_dw_hist = np.zeros(cfg.n_itrs)
     prof_weight_fac = cfg.prof_weight_fac
+    i_start = 0
+
+    if resume is not None:
+        from ..parallel.checkpoint import load_checkpoint
+        ck = load_checkpoint(resume)
+        prof = ck["profile"]
+        gamma_grid = ck["gamma_grid"]
+        n = min(len(ck["q_px_hist"]), cfg.n_itrs)
+        q_px_hist[:n] = ck["q_px_hist"][:n]
+        q_en_hist[:n] = ck["q_en_hist"][:n]
+        px_esc_hist[:n] = ck["px_esc_hist"][:n]
+        en_esc_hist[:n] = ck["en_esc_hist"][:n]
+        gamma_dw_hist[:n] = ck["gamma_dw_hist"][:n]
+        prof_weight_fac = ck["prof_weight_fac"]
+        i_start = ck["i_iter"]
+        log.info("resumed from %s at iteration %d", resume, i_start)
 
     rho0 = sum(s.number_density * s.mass for s in cfg.species)
     result = RunResult(setup=setup)
 
-    for i_iter in range(cfg.n_itrs):
+    for i_iter in range(i_start, cfg.n_itrs):
         log.info("iteration %d/%d", i_iter + 1, cfg.n_itrs)
-        it = engine.new_iteration_tallies()
+        it = engine.new_iteration_tallies(prof)
         ion_finals = []
         for i_ion in range(cfg.n_ions):
             res = engine.run_ion(i_iter, i_ion, prof, it)
@@ -207,6 +233,15 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
         result.iterations.append(itres)
 
         prof = prof_new
+        if checkpoint is not None:
+            from ..parallel.checkpoint import save_checkpoint
+            save_checkpoint(
+                checkpoint, i_iter=i_iter + 1, profile=prof,
+                gamma_grid=gamma_grid, q_px_hist=q_px_hist,
+                q_en_hist=q_en_hist, px_esc_hist=px_esc_hist,
+                en_esc_hist=en_esc_hist, gamma_dw_hist=gamma_dw_hist,
+                prof_weight_fac=prof_weight_fac,
+                random_seed=cfg.random_seed)
 
     result.wall_time = time.time() - t_start
     result.n_pushes = engine.n_pushes_total

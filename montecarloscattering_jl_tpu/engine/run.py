@@ -60,6 +60,11 @@ class IterationTallies:
     sum_ke_downstream: float = 0.0
     weight_coupled: np.ndarray = None
     spectra_coupled: np.ndarray = None
+    # ion -> electron energy pool [erg per zone], filled by ion species
+    # and consumed by electrons later in the same iteration
+    # (main_loops.jl:83-84,164)
+    energy_pool: np.ndarray = None
+    eps_target: np.ndarray = None
 
 
 @dataclass
@@ -104,11 +109,18 @@ class TransportEngine:
 
     # -- per-segment input builders -----------------------------------------
 
-    def segment_grids(self, prof) -> stp.SegmentGrids:
+    def segment_grids(self, prof, eps_target=None,
+                      recv_pool=None) -> stp.SegmentGrids:
         cfg = self.setup.cfg
+        nb = self.setup.nb
         f = lambda a: jnp.asarray(a, self.p_dtype)
         tcuts = np.full(self.n_tcut_slots, np.inf)
         tcuts[:len(cfg.tcuts)] = cfg.tcuts
+        if eps_target is None:
+            eps_target = np.zeros(nb)
+        prefix = np.zeros(nb + 1)
+        if recv_pool is not None:
+            prefix[1:] = np.cumsum(recv_pool)
         return stp.SegmentGrids(
             x_grid=jnp.asarray(self.setup.x_grid_cm, jnp.float64),
             ux=f(prof.ux_sk), uz=f(prof.uz_sk), utot=f(prof.utot),
@@ -118,6 +130,8 @@ class TransportEngine:
             tcuts=jnp.asarray(tcuts),
             x_spec=jnp.asarray(np.asarray(cfg.x_spec)
                                if cfg.x_spec else np.zeros(1)),
+            eps_target=f(eps_target),
+            recv_prefix=jnp.asarray(prefix, jnp.float64),
         )
 
     def segment_scalars(self, i_ion: int, i_pcut: int, bmag2: float
@@ -126,7 +140,10 @@ class TransportEngine:
         s = cfg.species[i_ion]
         pcut = cfg.pcuts[i_pcut]
         pcut_prev = cfg.pcuts[i_pcut - 1] if i_pcut > 0 else 0.0
-        j = jnp.asarray
+        # momentum/field-domain scalars carry the state dtype so the
+        # f32 path stays f32; position/time scalars stay float64
+        j = lambda v: jnp.asarray(v, self.p_dtype)
+        j64 = lambda v: jnp.asarray(v, jnp.float64)
         return stp.SegmentScalars(
             aa=j(s.aa), abs_charge=j(abs(s.charge)), m=j(s.mass),
             pcut=j(pcut), pcut_prev=j(pcut_prev),
@@ -134,9 +151,9 @@ class TransportEngine:
             u2=j(self.setup.u2), bmag2=j(bmag2),
             b_cmbz=j(self.setup.b_cmbz),
             gamma0_u0=j(cfg.gamma0 * cfg.u0),
-            feb_up=j(cfg.feb_upstream), feb_dw=j(cfg.feb_downstream),
-            x_grid_stop=j(self.setup.x_grid_stop),
-            age_max=j(cfg.age_max), pe_crit=j(cfg.pe_crit),
+            feb_up=j64(cfg.feb_upstream), feb_dw=j64(cfg.feb_downstream),
+            x_grid_stop=j64(self.setup.x_grid_stop),
+            age_max=j64(cfg.age_max), pe_crit=j(cfg.pe_crit),
             gamma_e_crit=j(cfg.gamma_e_crit),
             inj_frac=j(cfg.inj_fracs[i_ion]),
         )
@@ -151,7 +168,11 @@ class TransportEngine:
             do_retro=cfg.do_retro, do_tcuts=cfg.do_tcuts,
             use_custom_eps_b=cfg.use_custom_eps_b,
             is_electron=cfg.species[i_ion].is_electron,
+            do_energy_transfer=(cfg.energy_transfer_frac > 0
+                                and cfg.n_ions > 1),
+            electron_weight_fac=self.setup.electron_weight_fac,
             n_xspec=len(cfg.x_spec), i_grid_feb=self.setup.i_grid_feb,
+            i_shock=self.setup.i_shock,
             nb=self.setup.nb, psd_mom_min=b.psd_mom_min,
             bins_per_dec_mom=b.bins_per_dec_mom, n_mom=b.n_mom,
             cos_fine=b.cos_fine, dcos=b.dcos, theta_min=b.theta_min,
@@ -166,7 +187,8 @@ class TransportEngine:
         s = cfg.species[i_ion]
         nb, b = setup.nb, self.batch_size
 
-        grids = self.segment_grids(prof)
+        grids = self.segment_grids(prof, eps_target=it.eps_target,
+                                   recv_pool=it.energy_pool)
         ss = self.step_static(i_ion)
         ion_key = jax.random.fold_in(
             jax.random.fold_in(self.base_key, i_iter), i_ion)
@@ -236,6 +258,8 @@ class TransportEngine:
             ncross_acc += np.asarray(fin.num_crossings)
             spectra_sf += np.asarray(fin.spectra_sf)
             spectra_pf += np.asarray(fin.spectra_pf)
+            if it.energy_pool is not None and not ss.is_electron:
+                it.energy_pool += np.asarray(fin.energy_pool)
 
             esc = finish_particles_jit(state, esc, grids, sc, ss)
             pushes += int(np.asarray(state.nsteps).sum())
@@ -269,16 +293,40 @@ class TransportEngine:
             spectra_sf=spectra_sf, spectra_pf=spectra_pf,
             n_pushes=pushes, n_trajectories=trajectories)
 
-    def new_iteration_tallies(self) -> IterationTallies:
+    def new_iteration_tallies(self, prof=None) -> IterationTallies:
         cfg, nb = self.setup.cfg, self.setup.nb
         n_mom = self.setup.bins.n_mom
+        eps = np.zeros(nb)
+        if cfg.energy_transfer_frac > 0 and prof is not None:
+            eps = populate_eps_target(
+                cfg.energy_transfer_frac, cfg.u0, cfg.gamma0,
+                self.setup.u2, self.setup.gamma2, prof)
         return IterationTallies(
             pxx_flux=np.zeros(nb), pxz_flux=np.zeros(nb),
             energy_flux=np.zeros(nb),
             weight_coupled=np.zeros((self.n_tcut_slots, cfg.n_ions)),
             spectra_coupled=np.zeros((n_mom + 1, self.n_tcut_slots,
                                       cfg.n_ions)),
+            energy_pool=np.zeros(nb),
+            eps_target=eps,
         )
+
+
+def populate_eps_target(energy_transfer_frac: float, u0: float,
+                        gamma0: float, u2: float, gamma2: float,
+                        prof) -> np.ndarray:
+    """Electron energy-transfer target fraction per zone
+    (populate_eps_target!, iter_init.jl:1-15): eps ~ (z - 1) scaled so
+    the full compression reaches energy_transfer_frac (Ardaneh+ 2015)."""
+    beta0 = u0 / K.C_CGS
+    beta2 = u2 / K.C_CGS
+    z_max = gamma0 * beta0 / (gamma2 * beta2)
+    prefac = energy_transfer_frac / max(z_max - 1.0, 1e-30)
+    eps = np.zeros(len(prof.ux_sk))
+    moving = prof.ux_sk != u0
+    z_curr = gamma0 * u0 / (prof.gamma_sf * prof.ux_sk)
+    eps[moving] = prefac * (z_curr[moving] - 1.0)
+    return eps
 
 
 def pmax_cutoff(cfg: RunConfig, mass: float) -> float:

@@ -73,16 +73,19 @@ class Tallies(NamedTuple):
     """Per-segment accumulators.
 
     *_diff arrays are difference-form over the boundary axis (length
-    nb + 1); `finalize_tallies` prefix-sums them.  psd/therm axes are
-    [n_mom+1, n_theta+1, nb+1].
+    nb + 1); `finalize_tallies` prefix-sums them.  TPU scatter calls
+    dominate the step cost, so tallies are packed:
+      * flux_diff [4, nb+1]: (pxx, pxz, energy, n_crossings) — all four
+        share crossing indices and accumulate via ONE one-hot matmul on
+        the MXU per step.
+      * psd_diff [2, n_mom+1, n_theta+1, nb+1]: (CR, thermal) histograms
+        share one flattened-index scatter (lanes are exclusively one or
+        the other).
     """
 
-    pxx_diff: jnp.ndarray       # momentum flux [erg/cm^3]
-    pxz_diff: jnp.ndarray
-    en_diff: jnp.ndarray        # energy flux [erg/cm^2/s]
-    ncross_diff: jnp.ndarray    # thermal crossing counts
-    psd_diff: jnp.ndarray       # CR phase-space tally (weight / |v_x|)
-    therm_diff: jnp.ndarray     # thermal crossing histogram (same bins)
+    flux_diff: jnp.ndarray      # [4, nb+1] float64
+    psd_diff: jnp.ndarray       # [2, n_mom+1, n_theta+1, nb+1]
+    pool_diff: jnp.ndarray      # [nb+1] donated ion energy [erg]
     px_esc_up: jnp.ndarray      # scalar: escaping momentum flux at FEB
     en_esc_up: jnp.ndarray      # scalar: escaping energy flux at FEB
     sum_p_dw: jnp.ndarray       # scalar: downstream-escape pressure sum
@@ -98,10 +101,9 @@ def make_tallies(nb: int, n_mom: int, n_theta: int, n_xspec: int,
     f64 = jnp.float64
     z = jnp.zeros
     return Tallies(
-        pxx_diff=z(nb + 1, f64), pxz_diff=z(nb + 1, f64),
-        en_diff=z(nb + 1, f64), ncross_diff=z(nb + 1, f64),
-        psd_diff=z((n_mom + 1, n_theta + 1, nb + 1), psd_dtype),
-        therm_diff=z((n_mom + 1, n_theta + 1, nb + 1), psd_dtype),
+        flux_diff=z((4, nb + 1), f64),
+        psd_diff=z((2, n_mom + 1, n_theta + 1, nb + 1), psd_dtype),
+        pool_diff=z(nb + 1, f64),
         px_esc_up=jnp.zeros((), f64), en_esc_up=jnp.zeros((), f64),
         sum_p_dw=jnp.zeros((), f64), sum_ke_dw=jnp.zeros((), f64),
         spectra_sf=z((n_mom + 1, max(n_xspec, 1)), f64),
@@ -128,24 +130,28 @@ class FinalTallies(NamedTuple):
     spectra_pf: jnp.ndarray
     weight_coupled: jnp.ndarray
     spectra_coupled: jnp.ndarray
+    energy_pool: jnp.ndarray
 
 
 def finalize_tallies(t: Tallies) -> FinalTallies:
     """Prefix-sum the difference-form accumulators into per-boundary
     totals (the deferred equivalent of F_stream!'s per-boundary loop,
     all_flux.jl:219-257)."""
+    flux = jnp.cumsum(t.flux_diff, axis=-1)[:, :-1]
+    psd = jnp.cumsum(t.psd_diff, axis=-1)[..., :-1]
     return FinalTallies(
-        pxx_flux=jnp.cumsum(t.pxx_diff)[:-1],
-        pxz_flux=jnp.cumsum(t.pxz_diff)[:-1],
-        energy_flux=jnp.cumsum(t.en_diff)[:-1],
-        num_crossings=jnp.cumsum(t.ncross_diff)[:-1],
-        psd=jnp.cumsum(t.psd_diff, axis=-1)[..., :-1],
-        therm_psd=jnp.cumsum(t.therm_diff, axis=-1)[..., :-1],
+        pxx_flux=flux[0],
+        pxz_flux=flux[1],
+        energy_flux=flux[2],
+        num_crossings=flux[3],
+        psd=psd[0],
+        therm_psd=psd[1],
         px_esc_up=t.px_esc_up, en_esc_up=t.en_esc_up,
         sum_p_dw=t.sum_p_dw, sum_ke_dw=t.sum_ke_dw,
         spectra_sf=t.spectra_sf, spectra_pf=t.spectra_pf,
         weight_coupled=t.weight_coupled,
         spectra_coupled=t.spectra_coupled,
+        energy_pool=jnp.cumsum(t.pool_diff)[:-1],
     )
 
 

@@ -53,18 +53,20 @@ from .scattering import radiation_loss, scattering
 from .state import ACTIVE, FINISHED, SAVED, ParticleState, Tallies
 from .transforms import transform_p_ps, transform_p_psp
 
-_N_UNIFORM = 16
-# uniform slot assignments
-_U_SCAT1, _U_SCAT2 = 0, 1
-_U_REFL_INJ = 2          # slots 2..5
-_U_REFL_PHI = 6          # slots 6..9
-_U_PRET = 10
-_U_RET_MU = 11
-_U_RET_PHI = 12
-_U_RETRO_PHI = 13
-_U_RETRO_MU = 14
+# Uniform slots are shared between mutually exclusive lane modes
+# (scattering vs retro walk; shock reflection vs PRP return) to keep
+# the per-step threefry cost down: 8 uniforms per lane per step.
+_N_UNIFORM = 8
+_U_SCAT1, _U_SCAT2 = 0, 1        # pitch-angle scattering
+_U_RETRO_PHI, _U_RETRO_MU = 0, 1  # retro LAS (retro lanes don't scatter)
+_U_PRET = 2                       # P_ret test at the PRP
+_U_RET_MU = 3                     # analytic-return pitch
+_U_RET_PHI = 4                    # return phase
+_U_REFL_INJ = (5, 6)              # no-DSA reflection injection tests
+_U_REFL_PHI = (7, 3)              # reflection phase draws (slot 3 is
+#                                   free for lanes at the shock)
 
-_N_REFLECT_TRIES = 4
+_N_REFLECT_TRIES = 2
 
 
 class SegmentGrids(NamedTuple):
@@ -82,6 +84,9 @@ class SegmentGrids(NamedTuple):
     b_sin: jnp.ndarray
     tcuts: jnp.ndarray       # [n_tcut_slots] (padded with +inf)
     x_spec: jnp.ndarray      # [max(n_xspec,1)] detector positions [cm]
+    eps_target: jnp.ndarray  # [nb] electron heating target fraction
+    recv_prefix: jnp.ndarray  # [nb+1] prefix sum of the received-energy
+    #                           pool [erg] (do_energy_transfer)
 
 
 class SegmentScalars(NamedTuple):
@@ -121,8 +126,11 @@ class StepStatic:
     do_tcuts: bool
     use_custom_eps_b: bool
     is_electron: bool
+    do_energy_transfer: bool
+    electron_weight_fac: float
     n_xspec: int
     i_grid_feb: int
+    i_shock: int
     nb: int
     # PSD binning
     psd_mom_min: float
@@ -341,7 +349,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
             cross_up = ((x_try <= 0.0) & (x_old > 0.0) & ~state.inj
                         & (ss.dont_dsa | (sc.inj_frac < 1.0)))
             fail = (jnp.asarray(ss.dont_dsa)
-                    | (u[:, _U_REFL_INJ + k] > sc.inj_frac))
+                    | (u[:, _U_REFL_INJ[k]] > sc.inj_frac))
             refl = ~done_move & cross_up & fail
         else:
             refl = jnp.zeros_like(done_move)
@@ -352,7 +360,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
         neg = pb_m < 0.0
         pb_m = jnp.where(refl & neg, -pb_m, pb_m)
         phi_m = jnp.where(refl & ~neg,
-                          (u[:, _U_REFL_PHI + k] * 2.0 * jnp.pi
+                          (u[:, _U_REFL_PHI[k]] * 2.0 * jnp.pi
                            ).astype(p_dtype),
                           phi_m)
     # force remaining lanes through (reflection nearly always settles
@@ -407,37 +415,84 @@ def helix_step(state: ParticleState, tallies: Tallies,
     lo_c = jnp.clip(lo, 0, ss.nb - 1)
     hi_c = jnp.clip(hi, 0, ss.nb - 1)
 
-    sign_fac = jnp.where(moved_down, 1.0, -1.0)
+    sign_fac = jnp.where(moved_down, 1.0, -1.0).astype(p_dtype)
     g0u0 = sc.gamma0_u0
-    on = crossed.astype(jnp.float64)
-    pxx_c = (sign_fac * sk.px_sk * weight * g0u0).astype(jnp.float64) * on
-    pxz_c = (jnp.abs(sk.pz_sk) * weight * g0u0).astype(jnp.float64) * on
-    en_c = (sign_fac * e_add * g0u0).astype(jnp.float64) * on
-
+    on = crossed.astype(p_dtype)
+    # all four 1-D tallies share the crossing indices: build the signed
+    # one-hot range matrix once and push all channels through a single
+    # MXU contraction (replaces four scatter ops)
+    range_oh = (jax.nn.one_hot(lo_c, ss.nb + 1, dtype=p_dtype)
+                - jax.nn.one_hot(hi_c + 1, ss.nb + 1, dtype=p_dtype))
+    vals = jnp.stack([
+        sign_fac * sk.px_sk * weight * g0u0 * on,
+        jnp.abs(sk.pz_sk) * weight * g0u0 * on,
+        sign_fac * e_add * g0u0 * on,
+        (crossed & ~inj).astype(p_dtype),
+    ])                                               # [4, B]
+    flux_delta = jnp.einsum("cb,bn->cn", vals, range_oh,
+                            preferred_element_type=p_dtype)
     tallies = tallies._replace(
-        pxx_diff=tallies.pxx_diff.at[lo_c].add(pxx_c)
-        .at[hi_c + 1].add(-pxx_c),
-        pxz_diff=tallies.pxz_diff.at[lo_c].add(pxz_c)
-        .at[hi_c + 1].add(-pxz_c),
-        en_diff=tallies.en_diff.at[lo_c].add(en_c).at[hi_c + 1].add(-en_c),
-    )
+        flux_diff=tallies.flux_diff + flux_delta.astype(jnp.float64))
 
     ip_sk = psd_bin_momentum(sk.ptot_sk, ss.psd_mom_min,
                              ss.bins_per_dec_mom, ss.n_mom)
     jt_sk = psd_bin_angle(sk.px_sk, sk.ptot_sk, ss.cos_fine, ss.dcos,
                           ss.theta_min, ss.bins_per_dec_theta, ss.n_theta)
-    psd_w = (weight * abs_inv_vx).astype(tallies.psd_diff.dtype)
-    cr_w = psd_w * (crossed & inj)
-    th_w = psd_w * (crossed & ~inj)
+    psd_w = (weight * abs_inv_vx * crossed).astype(tallies.psd_diff.dtype)
+    # CR and thermal histograms share one flattened scatter; leading
+    # index 0 = injected (CR), 1 = thermal
+    kind = (~inj).astype(jnp.int32)
+    nzc = ss.nb + 1
+    flat_base = ((kind * (ss.n_mom + 1) + ip_sk) * (ss.n_theta + 1)
+                 + jt_sk) * nzc
+    psd_flat = tallies.psd_diff.reshape(-1)
+    psd_flat = psd_flat.at[flat_base + lo_c].add(psd_w)
+    psd_flat = psd_flat.at[flat_base + hi_c + 1].add(-psd_w)
     tallies = tallies._replace(
-        psd_diff=tallies.psd_diff.at[ip_sk, jt_sk, lo_c].add(cr_w)
-        .at[ip_sk, jt_sk, hi_c + 1].add(-cr_w),
-        therm_diff=tallies.therm_diff.at[ip_sk, jt_sk, lo_c].add(th_w)
-        .at[ip_sk, jt_sk, hi_c + 1].add(-th_w),
-        ncross_diff=tallies.ncross_diff.at[lo_c]
-        .add((crossed & ~inj).astype(jnp.float64))
-        .at[hi_c + 1].add(-(crossed & ~inj).astype(jnp.float64)),
-    )
+        psd_diff=psd_flat.reshape(tallies.psd_diff.shape))
+
+    # ---- ion <-> electron energy transfer (do_energy_transfer,
+    # particle_loop.jl:652-723) ------------------------------------------
+    # Applied on upstream pre-injection zone crossings.  Ions donate
+    # energy set by the eps_target schedule into the pool (spread
+    # uniformly over the crossed range — the reference splits over
+    # eps>0 zones only; totals are identical and electrons integrate
+    # the same range); electrons add the pooled energy scaled by the
+    # per-MC-particle electron count.  The reference applies this one
+    # step later (before the next move); statistically equivalent.
+    if ss.do_energy_transfer:
+        hi_t = jnp.minimum(hi_c, ss.i_shock)
+        xfer = (crossed & ~inj & (x_old <= 0.0) & (hi_t >= lo_c)
+                & (status == ACTIVE))
+        gamma_now = jnp.hypot(jnp.hypot(pb, pperp) / mc, 1.0)
+        if not ss.is_electron:
+            eps_stop = grids.eps_target[jnp.clip(hi_t, 0, ss.nb - 1)]
+            eps_start = grids.eps_target[ig]
+            g_f = 1.0 + (gamma_now - 1.0) * (1.0 - eps_stop) \
+                / jnp.maximum(1.0 - eps_start, 1e-30)
+            donate = xfer & (eps_stop > 0.0)
+            g_f = jnp.where(donate, jnp.maximum(g_f, 1.0), gamma_now)
+            n_range = (hi_t - lo_c + 1).astype(p_dtype)
+            inc = jnp.where(donate,
+                            (gamma_now - g_f) * e0 * weight
+                            / jnp.maximum(n_range, 1.0), 0.0)
+            tallies = tallies._replace(
+                pool_diff=tallies.pool_diff
+                .at[jnp.clip(lo_c, 0, ss.nb)].add(inc.astype(jnp.float64))
+                .at[jnp.clip(hi_t + 1, 0, ss.nb)]
+                .add(-inc.astype(jnp.float64)))
+        else:
+            gain = (grids.recv_prefix[jnp.clip(hi_t + 1, 0, ss.nb)]
+                    - grids.recv_prefix[jnp.clip(lo_c, 0, ss.nb)]
+                    ).astype(p_dtype) * ss.electron_weight_fac
+            g_f = jnp.where(xfer & (gain > 0.0),
+                            gamma_now + gain / e0, gamma_now)
+        scale = jnp.sqrt(jnp.maximum(g_f**2 - 1.0, 0.0)) \
+            / jnp.maximum(jnp.sqrt(jnp.maximum(gamma_now**2 - 1.0, 0.0)),
+                          1e-30)
+        scale = jnp.where(xfer & (g_f != gamma_now), scale, 1.0)
+        pb = pb * scale
+        pperp = pperp * scale
 
     # escaping flux at the upstream FEB (all_flux.jl:153-159)
     esc_cross = moving & inj & (x_new < sc.feb_up) & (x_old >= sc.feb_up)
@@ -510,14 +565,17 @@ def helix_step(state: ParticleState, tallies: Tallies,
     status = jnp.where(capped, FINISHED, status)
     reason = jnp.where(capped, st.R_DOWNSTREAM, reason)
 
+    # pin carry dtypes (guards the f32 path against silent upcasts)
     return ParticleState(
-        weight=weight, pb=pb, pperp=pperp, phi=phi, x=x_new,
-        igrid=ig_new, ux_prev=ux_prev,
-        downstream=downstream, inj=inj, xn_per=xn_per, prp_x=prp_x,
+        weight=weight.astype(p_dtype), pb=pb.astype(p_dtype),
+        pperp=pperp.astype(p_dtype), phi=phi.astype(p_dtype), x=x_new,
+        igrid=ig_new, ux_prev=ux_prev.astype(p_dtype),
+        downstream=downstream, inj=inj,
+        xn_per=xn_per.astype(p_dtype), prp_x=prp_x,
         acctime=acct, tcut=tcut_idx, status=status, reason=reason,
         retro=retro, just_returned=just_ret, key=state.key,
         nsteps=nsteps,
-        t_step=jnp.where(moving, t_step, state.t_step),
+        t_step=jnp.where(moving, t_step, state.t_step).astype(p_dtype),
     ), tallies
 
 
