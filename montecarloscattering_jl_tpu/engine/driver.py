@@ -43,6 +43,8 @@ class IonFinal:
     psd: np.ndarray
     therm_psd: np.ndarray
     num_crossings: np.ndarray
+    spectra_sf: np.ndarray      # x_spec detector spectra [n_mom+1, nx]
+    spectra_pf: np.ndarray
     n_pushes: int
     n_trajectories: int
 
@@ -68,6 +70,7 @@ class RunResult:
     wall_time: float = 0.0
     n_pushes: int = 0
     n_trajectories: int = 0
+    timers: object = None   # PhaseTimers
 
     @property
     def last(self) -> IterationResult:
@@ -113,6 +116,7 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
         energy_density_psd=e_dens, d2n_ef=d2n_ef, esc=res.esc,
         psd=res.psd, therm_psd=res.therm_psd,
         num_crossings=res.num_crossings,
+        spectra_sf=res.spectra_sf, spectra_pf=res.spectra_pf,
         n_pushes=res.n_pushes, n_trajectories=res.n_trajectories)
 
 
@@ -130,16 +134,26 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     fixed-point state between processes (the restart the reference
     never implemented, MonteCarloScattering.jl:462).
     """
+    from ..utils.tracing import PhaseTimers
+    timers = PhaseTimers()
     t_start = time.time()
     if isinstance(cfg, str):
         cfg = load_config(cfg)
-    setup = build_setup(cfg)
+    with timers.phase("setup"):
+        setup = build_setup(cfg)
     kw = {}
     if p_dtype is not None:
         kw["p_dtype"] = p_dtype
     engine = TransportEngine(setup, mesh=mesh, **kw)
     prof = setup.profile
     nb = setup.nb
+
+    if cfg.do_old_prof:
+        from .old_profile import read_old_profile
+        prof = read_old_profile(
+            "mc_grid_old.dat", cfg, setup.x_grid_cm, cfg.n_old_skip,
+            cfg.n_old_profs, cfg.n_old_per_prof)
+        log.info("restarted profile from mc_grid_old.dat")
 
     gamma_grid = np.zeros((nb, 2))
     q_px_hist = np.zeros(cfg.n_itrs)
@@ -173,11 +187,13 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
         it = engine.new_iteration_tallies(prof)
         ion_finals = []
         for i_ion in range(cfg.n_ions):
-            res = engine.run_ion(i_iter, i_ion, prof, it)
+            with timers.phase("transport"):
+                res = engine.run_ion(i_iter, i_ion, prof, it)
             want_2d = (cfg.species[i_ion].is_electron
                        or i_ion == cfg.n_ions - 1)
-            ion_finals.append(ion_finalize(setup, res, prof, i_ion,
-                                           want_2d))
+            with timers.phase("reductions"):
+                ion_finals.append(ion_finalize(setup, res, prof, i_ion,
+                                               want_2d))
 
         # ---- iteration close-out (iter_finalize.jl:20-54) ------------------
         px_esc_hist[i_iter] = (it.px_esc_upstream / setup.f_px_upstream)
@@ -207,6 +223,8 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
         q_px_avg = q_px_hist[i_iter - n_avg + 1:i_iter + 1].mean()
         q_en_avg = q_en_hist[i_iter - n_avg + 1:i_iter + 1].mean()
 
+        timers.totals["smoothing"] += 0.0
+        t_sm = time.time()
         prof_new, diag, prof_weight_fac = smooth_grid(
             i_iter, setup.i_shock, prof, cfg, setup.x_grid_rg,
             gamma_grid, p_par, p_perp, it.pxx_flux, it.energy_flux,
@@ -215,6 +233,8 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
             setup.beta2, setup.gamma2, prof_weight_fac,
             cfg.species[0].number_density, cfg.species[0].temperature,
             rho0, cfg.use_custom_eps_b)
+        timers.totals["smoothing"] += time.time() - t_sm
+        timers.counts["smoothing"] += 1
 
         itres = IterationResult(
             ion_finals=ion_finals, tallies=it, diag=diag,
@@ -226,8 +246,9 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
         if cfg.do_photons:
             # photon production per shell/zone (ion_finalize.jl:72-78)
             from ..models.emission import photon_calcs
-            itres.emission = photon_calcs(setup, prof, ion_finals,
-                                          i_iter)
+            with timers.phase("emission"):
+                itres.emission = photon_calcs(setup, prof, ion_finals,
+                                              i_iter)
             if emission_hook is not None:
                 emission_hook(setup, prof, ion_finals, i_iter)
         result.iterations.append(itres)
@@ -246,8 +267,10 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     result.wall_time = time.time() - t_start
     result.n_pushes = engine.n_pushes_total
     result.n_trajectories = engine.n_trajectories_total
+    result.timers = timers
 
     if out_dir is not None:
         from .io import write_outputs
-        write_outputs(result, out_dir)
+        with timers.phase("io"):
+            write_outputs(result, out_dir)
     return result

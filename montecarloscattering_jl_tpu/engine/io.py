@@ -224,11 +224,52 @@ def write_photons(result, out_dir: str) -> None:
                     f"{_log10s(pf):.5f}\n")
 
 
+def write_xspec(result, out_dir: str) -> None:
+    """Detector spectra at the configured x positions
+    (calculate_x_spec_spectra!, all_flux.jl:164-190)."""
+    setup = result.setup
+    if not setup.cfg.x_spec:
+        return
+    path = os.path.join(out_dir, "mc_xspec.dat")
+    logp = setup.bins.mom_bounds_log[:-1]
+    with open(path, "w") as f:
+        f.write("# i_iter i_ion i_xspec x_cm log_p_cgs "
+                "spectrum_sf spectrum_pf\n")
+        for i_iter, itr in enumerate(result.iterations):
+            for i_ion, fi in enumerate(itr.ion_finals):
+                for ix, xs in enumerate(setup.cfg.x_spec):
+                    for j in range(fi.spectra_sf.shape[0]):
+                        if (fi.spectra_sf[j, ix] <= 0
+                                and fi.spectra_pf[j, ix] <= 0):
+                            continue
+                        f.write(f"{i_iter + 1} {i_ion + 1} {ix + 1} "
+                                f"{xs:.5e} {logp[j]:.4f} "
+                                f"{fi.spectra_sf[j, ix]:.6e} "
+                                f"{fi.spectra_pf[j, ix]:.6e}\n")
+
+
+def write_timers(result, out_dir: str) -> None:
+    """Per-phase wall-clock report (tracing subsystem, SURVEY.md 5.1)."""
+    if result.timers is None:
+        return
+    result.timers.dump(
+        os.path.join(out_dir, "mc_profile.json"),
+        extra={
+            "pushes": result.n_pushes,
+            "trajectories": result.n_trajectories,
+            "wall_time_s": round(result.wall_time, 3),
+            "pushes_per_sec": round(
+                result.n_pushes / max(result.wall_time, 1e-9), 1),
+        })
+
+
 def write_outputs(result, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     write_mc_out(result, os.path.join(out_dir, "mc_out.dat"))
     write_mc_grid(result, os.path.join(out_dir, "mc_grid.dat"))
     write_dndp(result, out_dir)
     write_coupled(result, out_dir)
+    write_xspec(result, out_dir)
+    write_timers(result, out_dir)
     if result.setup.cfg.do_photons and result.iterations:
         write_photons(result, out_dir)

@@ -77,13 +77,25 @@ def _triangle_cdf(x, lo, peak, hi):
     return jnp.where(tinyw, (x >= lo).astype(x.dtype), cdf)
 
 
-def _rebin_matrix(corner_lp, edges_log):
+def _uniform_cdf(x, lo, hi):
+    """CDF of a uniform distribution on [lo, hi] (i_approx = 0,
+    uniform_cell_distribution!, transformers.jl:177-202)."""
+    width = hi - lo
+    tinyw = width <= 1.0e-12
+    cdf = jnp.clip((x - lo) / jnp.maximum(width, 1.0e-30), 0.0, 1.0)
+    return jnp.where(tinyw, (x >= lo).astype(x.dtype), cdf)
+
+
+def _rebin_matrix(corner_lp, edges_log, i_approx: int = 2):
     """[n_cells, n_bins] fraction matrix from the cell corner log-p grid.
 
     Cells (i, j) own corners {(i,j),(i+1,j),(i,j+1),(i+1,j+1)}; sorting
-    them yields p_lo/p_hi and the scalene peak at the mean of the two
-    middle corners (identify_corners + i_approx=2,
-    transformers.jl:209-312).
+    them yields p_lo/p_hi, and cell weight is spread by i_approx
+    (get_transform_dN, transformers.jl:106-148):
+      0  uniform on [p_lo, p_hi]
+      1  isosceles triangle peaked at the midpoint
+      2  scalene triangle peaked at the mean of the two middle corners
+         (the reference's production choice, particle_counter.jl:72)
     """
     c00 = corner_lp[:-1, :-1]
     c10 = corner_lp[1:, :-1]
@@ -92,29 +104,36 @@ def _rebin_matrix(corner_lp, edges_log):
     stack = jnp.stack([c00, c10, c01, c11], axis=-1)
     lo = jnp.min(stack, axis=-1)
     hi = jnp.max(stack, axis=-1)
-    peak = (jnp.sum(stack, axis=-1) - lo - hi) / 2.0
+    if i_approx == 1:
+        peak = (lo + hi) / 2.0
+    else:
+        peak = (jnp.sum(stack, axis=-1) - lo - hi) / 2.0
     lo = lo.reshape(-1, 1)
     hi = hi.reshape(-1, 1)
     peak = peak.reshape(-1, 1)
     # extend the last bin to +inf so overflow lands there, matching the
     # reference's clamp-to-top-bin warnings (transformers.jl:68-92)
     e = jnp.concatenate([edges_log[:-1], jnp.asarray([1.0e9])])
-    cdf = _triangle_cdf(e[None, :], lo, peak, hi)
+    if i_approx == 0:
+        cdf = _uniform_cdf(e[None, :], lo, hi)
+    else:
+        cdf = _triangle_cdf(e[None, :], lo, peak, hi)
     return cdf[:, 1:] - cdf[:, :-1]
 
 
-@partial(jax.jit, static_argnames=("n_mom", "n_theta"))
+@partial(jax.jit, static_argnames=("n_mom", "n_theta", "i_approx"))
 def _dn_transformed(psd_zone, gamma, e0, mom_edges, cos_bounds, edges_log,
-                    n_mom: int, n_theta: int):
+                    n_mom: int, n_theta: int, i_approx: int = 2):
     """dN(p) of one zone's PSD slice in the frame reached by boosting
     with `gamma` (get_transform_dN, transformers.jl:29-170)."""
     clp = corner_logp(gamma, e0, mom_edges, cos_bounds)
-    m = _rebin_matrix(clp, edges_log)
+    m = _rebin_matrix(clp, edges_log, i_approx)
     w = (psd_zone / gamma).reshape(-1)
     return w @ m
 
 
-def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float):
+def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float,
+            i_approx: int = 2):
     """dN/dp [n_mom+1, nb, 3] in (shock, plasma, ISM) frames
     (get_dNdp_cr, particle_counter.jl:29-306).
 
@@ -130,7 +149,8 @@ def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float):
     def per_zone(args):
         psd_z, g = args
         return _dn_transformed(psd_z, g, e0, mom_edges, cos_bounds,
-                               edges_log, bins.n_mom, bins.n_theta)
+                               edges_log, bins.n_mom, bins.n_theta,
+                               i_approx)
 
     psd_t = jnp.moveaxis(psd, -1, 0)              # [nb, n_mom+1, n_theta+1]
     dn_pf = jax.lax.map(per_zone, (psd_t, jnp.asarray(gamma_sf_grid))).T

@@ -1,0 +1,123 @@
+"""Auxiliary subsystems (SURVEY.md section 5): tracing, old-profile
+restart, x_spec detectors, rebinning approximation modes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from montecarloscattering_jl_tpu.engine import run
+from montecarloscattering_jl_tpu.engine.old_profile import read_old_profile
+from montecarloscattering_jl_tpu.utils import constants as K
+from montecarloscattering_jl_tpu.utils import load_config
+from montecarloscattering_jl_tpu.utils.tracing import PhaseTimers
+
+
+def _quick_cfg():
+    cfg = load_config("tests/data/dsa_nonrel.toml")
+    cfg.n_pts_inj = 40
+    cfg.n_pts_pcut = 48
+    cfg.n_pts_pcut_hi = 48
+    cfg.pcuts = cfg.pcuts[:3]
+    return cfg
+
+
+class TestTracing:
+    def test_phase_timers(self, tmp_path):
+        t = PhaseTimers()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        with t.phase("b"):
+            pass
+        rep = t.report()
+        assert rep["a"]["calls"] == 2 and rep["b"]["calls"] == 1
+        t.dump(str(tmp_path / "p.json"), extra={"x": 1})
+        d = json.load(open(tmp_path / "p.json"))
+        assert d["x"] == 1 and "a" in d["phases"]
+
+    def test_run_writes_profile_json(self, tmp_path):
+        cfg = _quick_cfg()
+        res = run(cfg, out_dir=str(tmp_path))
+        d = json.load(open(tmp_path / "mc_profile.json"))
+        assert d["pushes"] == res.n_pushes
+        assert "transport" in d["phases"]
+        assert "reductions" in d["phases"]
+        assert "smoothing" in d["phases"]
+
+
+class TestOldProfile:
+    def test_restart_roundtrip(self, tmp_path):
+        """A profile written to mc_grid.dat reloads to the same
+        velocity/B structure (the restart path the reference never
+        implemented, MonteCarloScattering.jl:462)."""
+        cfg = _quick_cfg()
+        cfg.n_itrs = 2
+        cfg.do_smoothing = True
+        res = run(cfg, out_dir=str(tmp_path))
+        prof_end = res.iterations[-1].profile_after
+
+        n_grid = res.setup.n_grid
+        prof2 = read_old_profile(
+            str(tmp_path / "mc_grid.dat"), cfg, res.setup.x_grid_cm,
+            n_old_skip=n_grid,       # skip iteration 1's block
+            n_old_profs=1, n_old_per_prof=n_grid)
+        sl = slice(1, res.setup.nb - 1)
+        np.testing.assert_allclose(prof2.ux_sk[sl], prof_end.ux_sk[sl],
+                                   rtol=2e-7)
+        np.testing.assert_allclose(prof2.btot[sl], prof_end.btot[sl],
+                                   rtol=2e-7)
+
+    def test_driver_uses_old_profile(self, tmp_path, monkeypatch):
+        cfg = _quick_cfg()
+        cfg.n_itrs = 1
+        cfg.do_smoothing = True
+        res = run(cfg, out_dir=str(tmp_path))
+        cfg2 = _quick_cfg()
+        monkeypatch.chdir(tmp_path)
+        os.rename(tmp_path / "mc_grid.dat", tmp_path / "mc_grid_old.dat")
+        cfg2.do_old_prof = True
+        cfg2.n_old_skip = 0
+        cfg2.n_old_profs = 1
+        cfg2.n_old_per_prof = res.setup.n_grid
+        res2 = run(cfg2)
+        # the restarted run's first iteration used the smoothed profile
+        # (its mc_grid diagnostics differ from a fresh step profile)
+        assert res2.iterations[0] is not None
+
+
+class TestXspec:
+    def test_detector_spectra(self, tmp_path):
+        cfg = _quick_cfg()
+        # detectors just up/downstream of the shock [cm]
+        cfg.x_spec = [-0.5 * cfg.rg0, 0.5 * cfg.rg0]
+        res = run(cfg, out_dir=str(tmp_path))
+        fi = res.iterations[0].ion_finals[0]
+        assert fi.spectra_sf.shape[1] == 2
+        assert fi.spectra_sf.sum() > 0
+        assert fi.spectra_pf.sum() > 0
+        assert (tmp_path / "mc_xspec.dat").exists()
+        lines = open(tmp_path / "mc_xspec.dat").readlines()
+        assert len(lines) > 5
+
+
+class TestIApprox:
+    def test_rebin_modes_conserve_weight(self):
+        import jax.numpy as jnp
+        from montecarloscattering_jl_tpu.ops.reduce import (
+            _rebin_matrix, corner_logp)
+        from montecarloscattering_jl_tpu.models.psd_bins import (
+            build_psd_bins)
+        from montecarloscattering_jl_tpu.utils.species import Species
+        sp = [Species(K.MP_CGS, K.QE_CGS, 1e6, 1.0)]
+        bins = build_psd_bins(sp, 1, 0.0, 0.01, 0.0, 0.0, 100 * K.MP_C,
+                              2.0, 10, 10, 30, 2)
+        clp = corner_logp(2.0, K.MP_C2, jnp.asarray(bins.mom_edges),
+                          jnp.asarray(bins.cos_bounds()))
+        for mode in (0, 1, 2):
+            m = np.asarray(_rebin_matrix(
+                clp, jnp.asarray(bins.mom_bounds_log), mode))
+            sums = m.sum(axis=1)
+            assert np.allclose(sums, 1.0, atol=1e-9), mode
