@@ -132,7 +132,8 @@ def write_coupled(result, out_dir: str) -> None:
 
 
 def write_mc_out(result, path: str) -> None:
-    """Run summary (mc_out.dat; MonteCarloScattering.jl:371-412,
+    """Run summary + config banner (mc_out.dat; print_input,
+    io.jl:101-166; MonteCarloScattering.jl:371-412;
     iter_finalize.jl:73-126)."""
     setup = result.setup
     cfg = setup.cfg
@@ -140,12 +141,49 @@ def write_mc_out(result, path: str) -> None:
         f.write("MonteCarloScattering TPU framework run summary\n\n")
         f.write(f"shock: u0={cfg.u0:.6e} cm/s beta0={cfg.beta0:.6f} "
                 f"gamma0={cfg.gamma0:.4f}\n")
+        f.write(f"downstream: u2={setup.u2:.6e} cm/s "
+                f"beta2={setup.beta2:.6f} gamma2={setup.gamma2:.4f}\n")
         f.write(f"r_RH={setup.r_rh:.5f} Gamma2_RH={setup.gamma2_rh:.5f} "
                 f"r_comp={setup.r_comp:.5f}\n")
         f.write(f"Mach sonic={setup.mach_sonic:.2f} "
                 f"alfven={setup.mach_alfven:.2f}\n")
+        f.write(f"B0={cfg.bmag0:.4e} G  B2(init)={setup.bmag2_init:.4e} G"
+                f"  theta_B0={cfg.theta_b0} deg\n")
         f.write(f"rg0={cfg.rg0:.6e} cm; grid {setup.n_grid} zones; "
-                f"shock index {setup.i_shock}\n")
+                f"shock index {setup.i_shock}; "
+                f"FEB index {setup.i_grid_feb}\n")
+        f.write(f"FEB upstream={cfg.feb_upstream:.4e} cm "
+                f"({cfg.feb_upstream / cfg.rg0:.1f} rg0); "
+                f"downstream="
+                + (f"{cfg.feb_downstream:.4e} cm"
+                   if cfg.feb_downstream > 0 else "PRP") + "\n")
+        f.write(f"particles: inject {cfg.n_pts_inj}, per pcut "
+                f"{cfg.n_pts_pcut} (hi {cfg.n_pts_pcut_hi} above "
+                f"{cfg.energy_pcut_hi:g} keV/aa); {len(cfg.pcuts)} "
+                f"pcuts\n")
+        f.write(f"scattering: eta_mfp={cfg.eta_mfp}, N_g coarse/fine = "
+                f"{cfg.xn_per_coarse:g}/{cfg.xn_per_fine:g}\n")
+        f.write(f"PSD: {setup.bins.n_mom} momentum x "
+                f"{setup.bins.n_theta} angle bins "
+                f"({cfg.psd_bins_per_dec_mom}/dec mom, "
+                f"{cfg.psd_lin_cos_bins} lin-cos + "
+                f"{cfg.psd_log_theta_decs} log-theta decades)\n")
+        f.write(f"switches: no-shock={cfg.dont_shock} "
+                f"no-scatter={cfg.dont_scatter} no-DSA={cfg.dont_dsa} "
+                f"smoothing={cfg.do_smoothing} retro={cfg.do_retro} "
+                f"fast-push={cfg.do_fast_push} "
+                f"rad-losses={cfg.do_rad_losses} "
+                f"photons={cfg.do_photons}\n")
+        f.write(f"age_max={cfg.age_max:g} s; "
+                f"b-turbulence={cfg.bturb_comp_frac} "
+                f"b-amplify={cfg.bfield_amp} "
+                f"custom-epsB={cfg.use_custom_eps_b}\n")
+        for i, s in enumerate(cfg.species):
+            f.write(f"species {i + 1}: aa={s.aa:.6g} zz={s.zz:+.0f} "
+                    f"T0={s.temperature:g} K n0={s.number_density:g} "
+                    f"/cm^3\n")
+        f.write(f"redshift={setup.redshift:.5f} "
+                f"(jet distance {cfg.jet_dist_mpc:g} Mpc)\n")
         f.write(f"F_px_upstream={setup.f_px_upstream:.6e} erg/cm^3\n")
         f.write(f"F_energy_upstream={setup.f_energy_upstream:.6e} "
                 f"erg/cm^2/s\n\n")
