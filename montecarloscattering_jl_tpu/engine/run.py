@@ -81,6 +81,7 @@ class TransportEngine:
     psd_dtype: object = jnp.float32
     mesh: object = None
     batch_size: int = 0
+    tally_chunk: int = 8
     n_pushes_total: int = 0
     n_trajectories_total: int = 0
 
@@ -236,7 +237,9 @@ class TransportEngine:
             sc = self.segment_scalars(i_ion, i_pcut, prof.bmag2)
             tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
                                    len(cfg.x_spec), self.n_tcut_slots,
-                                   self.psd_dtype)
+                                   self.psd_dtype, batch=b,
+                                   chunk=self.tally_chunk,
+                                   p_dtype=self.p_dtype)
             state, tal = seg_run(state, tal, grids, sc, ss)
             fin = stt.finalize_tallies(tal)
 

@@ -418,38 +418,41 @@ def helix_step(state: ParticleState, tallies: Tallies,
     sign_fac = jnp.where(moved_down, 1.0, -1.0).astype(p_dtype)
     g0u0 = sc.gamma0_u0
     on = crossed.astype(p_dtype)
-    # all four 1-D tallies share the crossing indices: build the signed
-    # one-hot range matrix once and push all channels through a single
-    # MXU contraction (replaces four scatter ops)
-    range_oh = (jax.nn.one_hot(lo_c, ss.nb + 1, dtype=p_dtype)
-                - jax.nn.one_hot(hi_c + 1, ss.nb + 1, dtype=p_dtype))
     vals = jnp.stack([
         sign_fac * sk.px_sk * weight * g0u0 * on,
         jnp.abs(sk.pz_sk) * weight * g0u0 * on,
         sign_fac * e_add * g0u0 * on,
         (crossed & ~inj).astype(p_dtype),
     ])                                               # [4, B]
-    flux_delta = jnp.einsum("cb,bn->cn", vals, range_oh,
-                            preferred_element_type=p_dtype)
-    tallies = tallies._replace(
-        flux_diff=tallies.flux_diff + flux_delta.astype(jnp.float64))
 
     ip_sk = psd_bin_momentum(sk.ptot_sk, ss.psd_mom_min,
                              ss.bins_per_dec_mom, ss.n_mom)
     jt_sk = psd_bin_angle(sk.px_sk, sk.ptot_sk, ss.cos_fine, ss.dcos,
                           ss.theta_min, ss.bins_per_dec_theta, ss.n_theta)
     psd_w = (weight * abs_inv_vx * crossed).astype(tallies.psd_diff.dtype)
-    # CR and thermal histograms share one flattened scatter; leading
+    # CR and thermal histograms share one flattened cell base; leading
     # index 0 = injected (CR), 1 = thermal
     kind = (~inj).astype(jnp.int32)
     nzc = ss.nb + 1
     flat_base = ((kind * (ss.n_mom + 1) + ip_sk) * (ss.n_theta + 1)
                  + jt_sk) * nzc
-    psd_flat = tallies.psd_diff.reshape(-1)
-    psd_flat = psd_flat.at[flat_base + lo_c].add(psd_w)
-    psd_flat = psd_flat.at[flat_base + hi_c + 1].add(-psd_w)
+
+    # record the step's crossings; flush every `chunk` steps, where
+    # the chunk size is the record buffer's static leading extent
+    chunk = tallies.rec_lo.shape[0]
+    phase = jnp.mod(tallies.step_phase, chunk)
     tallies = tallies._replace(
-        psd_diff=psd_flat.reshape(tallies.psd_diff.shape))
+        rec_lo=tallies.rec_lo.at[phase].set(lo_c.astype(jnp.int32)),
+        rec_hi=tallies.rec_hi.at[phase].set(hi_c.astype(jnp.int32)),
+        rec_vals=tallies.rec_vals.at[phase].set(
+            vals.astype(tallies.rec_vals.dtype)),
+        rec_psd_idx=tallies.rec_psd_idx.at[phase].set(flat_base),
+        rec_psd_w=tallies.rec_psd_w.at[phase].set(psd_w),
+        step_phase=tallies.step_phase + 1,
+    )
+    tallies = lax.cond(phase == chunk - 1,
+                       lambda t: _flush_records(t, ss),
+                       lambda t: t, tallies)
 
     # ---- ion <-> electron energy transfer (do_energy_transfer,
     # particle_loop.jl:652-723) ------------------------------------------
@@ -579,6 +582,38 @@ def helix_step(state: ParticleState, tallies: Tallies,
     ), tallies
 
 
+def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
+    """Flush the chunked crossing records into the tally arrays: one
+    signed one-hot MXU contraction for the four flux channels and one
+    flattened scatter pair for the CR/thermal histograms, per chunk of
+    steps instead of per step."""
+    lo = t.rec_lo.reshape(-1)
+    hi = t.rec_hi.reshape(-1)
+    dtype = t.rec_vals.dtype
+    range_oh = (jax.nn.one_hot(lo, ss.nb + 1, dtype=dtype)
+                - jax.nn.one_hot(hi + 1, ss.nb + 1, dtype=dtype))
+    vals = jnp.moveaxis(t.rec_vals, 1, 0).reshape(4, -1)  # [4, chunk*B]
+    delta = jnp.einsum("cb,bn->cn", vals, range_oh,
+                       preferred_element_type=dtype)
+    flux_diff = t.flux_diff + delta.astype(jnp.float64)
+
+    base = t.rec_psd_idx.reshape(-1)
+    w = t.rec_psd_w.reshape(-1)
+    psd_flat = t.psd_diff.reshape(-1)
+    psd_flat = psd_flat.at[base + lo].add(w)
+    psd_flat = psd_flat.at[base + hi + 1].add(-w)
+
+    return t._replace(
+        flux_diff=flux_diff,
+        psd_diff=psd_flat.reshape(t.psd_diff.shape),
+        rec_lo=jnp.zeros_like(t.rec_lo),
+        rec_hi=jnp.zeros_like(t.rec_hi),
+        rec_vals=jnp.zeros_like(t.rec_vals),
+        rec_psd_idx=jnp.zeros_like(t.rec_psd_idx),
+        rec_psd_w=jnp.zeros_like(t.rec_psd_w),
+    )
+
+
 def run_segment(state: ParticleState, tallies: Tallies,
                 grids: SegmentGrids, sc: SegmentScalars,
                 ss: StepStatic) -> tuple[ParticleState, Tallies]:
@@ -597,7 +632,11 @@ def run_segment(state: ParticleState, tallies: Tallies,
         s, t = carry
         return helix_step(s, t, grids, sc, ss)
 
-    return lax.while_loop(cond, body, (state, tallies))
+    state, tallies = lax.while_loop(cond, body, (state, tallies))
+    # flush any residual partial chunk (buffers are zeroed at every
+    # flush, so the leftover slots contribute exactly once)
+    tallies = _flush_records(tallies, ss)
+    return state, tallies
 
 
 run_segment_jit = jax.jit(run_segment, static_argnums=(4,),

@@ -41,7 +41,8 @@ def bench(batch=4096, n_steps=512, p_dtype=jnp.float64, repeat=3):
                            setup.x_grid_stop, jax.random.key(0),
                            p_dtype=p_dtype)
     tal = stt.make_tallies(setup.nb, setup.bins.n_mom, setup.bins.n_theta,
-                           0, 0, jnp.float32)
+                           0, 0, jnp.float32, batch=batch, chunk=8,
+                           p_dtype=p_dtype)
 
     # fixed-step loop for timing (no early exit)
     def steps(state, tal):
@@ -61,7 +62,8 @@ def bench(batch=4096, n_steps=512, p_dtype=jnp.float64, repeat=3):
                               setup.x_grid_stop, jax.random.key(1),
                               p_dtype=p_dtype)
         tal_in = stt.make_tallies(setup.nb, setup.bins.n_mom,
-                                  setup.bins.n_theta, 0, 0, jnp.float32)
+                                  setup.bins.n_theta, 0, 0, jnp.float32,
+                                  batch=batch, chunk=8, p_dtype=p_dtype)
         t0 = time.time()
         s2, t2 = stepsj(s_in, tal_in)
         jax.block_until_ready(s2)

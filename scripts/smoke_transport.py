@@ -66,7 +66,7 @@ def main(n_pts=100, dont_scatter=False, dont_dsa=False, seed=3):
     key = jax.random.key(1)
     state = stt.init_state(pop.weight, pop.ptot_pf, pop.pb_pf, pop.x_cm, pop.i_grid,
                            prof.ux_sk[pop.i_grid], cfg.xn_per_fine, x_stop, key)
-    tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta, 0, 0, jnp.float64)
+    tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta, 0, 0, jnp.float64, batch=n, chunk=8)
     t0 = time.time()
     state2, tal2 = stp.run_segment_jit(state, tal, grids, sc, ss)
     jax.block_until_ready(state2)

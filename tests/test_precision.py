@@ -64,7 +64,9 @@ class TestF32Path:
                                setup.x_grid_stop, jax.random.key(0),
                                p_dtype=jnp.float32)
         tal = stt.make_tallies(setup.nb, setup.bins.n_mom,
-                               setup.bins.n_theta, 0, 1)
+                               setup.bins.n_theta, 0, 1,
+                               batch=len(pop.ptot_pf), chunk=4,
+                               p_dtype=jnp.float32)
         s2, _ = stp.helix_step(state, tal, grids, sc, ss)
         assert s2.pb.dtype == jnp.float32
         assert s2.pperp.dtype == jnp.float32
