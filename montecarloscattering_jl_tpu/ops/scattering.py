@@ -25,26 +25,29 @@ class ScatterResult(NamedTuple):
 
 def scattering(u1, u2, pb, pperp, phi, ptot, gamma_pf, xn_per,
                gyro_denom, is_electron, pe_crit: float,
-               gamma_e_crit: float, eta_mfp: float, mc, c: float
+               gamma_e_crit: float, eta_mfp: float, mc, c: float,
+               cos_max=None, phase_adjust: bool = True
                ) -> ScatterResult:
     """One pitch-angle scattering event per lane (scattering.jl:29-91).
 
     Arguments are [B] arrays except the config scalars.  `gyro_denom`
     is 1/(z q B) [1/(esu G)]; `mc` the per-lane (species) momentum
     scale m*c.  Electrons below pe_crit scatter with a constant MFP
-    set by pe_crit (scattering.jl:39-45).
+    set by pe_crit (scattering.jl:39-45).  `cos_max` may be
+    precomputed (it depends only on xn_per and eta); `phase_adjust`
+    applies the Ellison+ (1990) gyro-phase correction (observable only
+    through the pxz diagnostic for parallel shocks).
     """
     const_mfp = is_electron & (ptot < pe_crit)
-    p_eff = jnp.where(const_mfp, pe_crit, ptot)
     g_eff = jnp.where(const_mfp, gamma_e_crit, gamma_pf)
 
-    gyro_rad_tot = p_eff * c * gyro_denom
     gyro_period = 2.0 * jnp.pi * g_eff * mc * gyro_denom
 
     # max deflection: cos_max = cos(sqrt(6 v_tg / (N lambda))) with
     # v_tg = 2 pi r_g and lambda = eta r_g  =>  angle depends only on
     # (N, eta) (scattering.jl:46-60)
-    cos_max = jnp.cos(jnp.sqrt(12.0 * jnp.pi / (xn_per * eta_mfp)))
+    if cos_max is None:
+        cos_max = jnp.cos(jnp.sqrt(12.0 * jnp.pi / (xn_per * eta_mfp)))
 
     safe_ptot = jnp.maximum(ptot, 1.0e-300)
     cos_old = pb / safe_ptot
@@ -63,13 +66,16 @@ def scattering(u1, u2, pb, pperp, phi, ptot, gamma_pf, xn_per,
     pperp_new = ptot * sin_new
 
     # phase-angle adjustment (get_sine_adjustment, scattering.jl:93-101)
-    sin_dphi = jnp.where(sin_new > 0.0,
-                         jnp.sin(phi_scat) * sin_dt
-                         / jnp.maximum(sin_new, 1.0e-300),
-                         0.0)
-    limit = 1.0 - 1.0e-15
-    sin_dphi = jnp.clip(sin_dphi, -limit, limit)
-    phi_new = phi + jnp.arcsin(sin_dphi)
+    if phase_adjust:
+        sin_dphi = jnp.where(sin_new > 0.0,
+                             jnp.sin(phi_scat) * sin_dt
+                             / jnp.maximum(sin_new, 1.0e-300),
+                             0.0)
+        limit = 1.0 - 1.0e-15
+        sin_dphi = jnp.clip(sin_dphi, -limit, limit)
+        phi_new = phi + jnp.arcsin(sin_dphi)
+    else:
+        phi_new = phi
 
     return ScatterResult(gyro_period, pb_new, pperp_new, phi_new)
 

@@ -86,15 +86,13 @@ class Tallies(NamedTuple):
     flux_diff: jnp.ndarray      # [4, nb+1] float64
     psd_diff: jnp.ndarray       # [2, n_mom+1, n_theta+1, nb+1]
     pool_diff: jnp.ndarray      # [nb+1] donated ion energy [erg]
-    # chunked tally record buffers: TPU scatter cost is dominated by a
-    # flat per-op overhead, so per-step crossing records accumulate
-    # here and flush once per `chunk` steps (ops/step._flush_records)
-    rec_lo: jnp.ndarray         # [chunk, B] int32 crossing range starts
-    rec_hi: jnp.ndarray         # [chunk, B] int32 crossing range ends
-    rec_vals: jnp.ndarray       # [chunk, 4, B] flux channel values
-    rec_psd_idx: jnp.ndarray    # [chunk, B] int32 flattened psd cell
-    #                             base (zone offsets come from rec_lo/hi)
-    rec_psd_w: jnp.ndarray      # [chunk, B] psd weights
+    # chunked tally record buffer: every TPU scatter/dynamic-update op
+    # carries a flat ~0.1-1 ms overhead, so per-step crossing records
+    # accumulate here with ONE dynamic write per step and flush once
+    # per `chunk` steps (ops/step._flush_records).  Rows: 4 flux
+    # channels, psd weight, then lo/hi/psd-base indices stored exactly
+    # as floats (all < 2^24).
+    rec: jnp.ndarray            # [chunk, 8, B]
     step_phase: jnp.ndarray     # scalar int32 step counter
     px_esc_up: jnp.ndarray      # scalar: escaping momentum flux at FEB
     en_esc_up: jnp.ndarray      # scalar: escaping energy flux at FEB
@@ -116,11 +114,7 @@ def make_tallies(nb: int, n_mom: int, n_theta: int, n_xspec: int,
         flux_diff=z((4, nb + 1), f64),
         psd_diff=z((2, n_mom + 1, n_theta + 1, nb + 1), psd_dtype),
         pool_diff=z(nb + 1, f64),
-        rec_lo=z((chunk, batch), jnp.int32),
-        rec_hi=z((chunk, batch), jnp.int32),
-        rec_vals=z((chunk, 4, batch), p_dtype),
-        rec_psd_idx=z((chunk, batch), jnp.int32),
-        rec_psd_w=z((chunk, batch), psd_dtype),
+        rec=z((chunk, 8, batch), p_dtype),
         step_phase=jnp.zeros((), jnp.int32),
         px_esc_up=jnp.zeros((), f64), en_esc_up=jnp.zeros((), f64),
         sum_p_dw=jnp.zeros((), f64), sum_ke_dw=jnp.zeros((), f64),

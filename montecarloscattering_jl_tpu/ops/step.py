@@ -34,6 +34,7 @@ Design notes (SURVEY.md section 7):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -51,7 +52,12 @@ from ..utils.params import (
 from . import state as st
 from .scattering import radiation_loss, scattering
 from .state import ACTIVE, FINISHED, SAVED, ParticleState, Tallies
-from .transforms import transform_p_ps, transform_p_psp
+from .transforms import (
+    transform_p_ps,
+    transform_p_ps_parallel,
+    transform_p_psp,
+    transform_p_psp_parallel,
+)
 
 # Uniform slots are shared between mutually exclusive lane modes
 # (scattering vs retro walk; shock reflection vs PRP return) to keep
@@ -141,6 +147,12 @@ class StepStatic:
     theta_min: float
     bins_per_dec_theta: int
     n_theta: int
+    # theta_B = 0 everywhere (the only geometry the config admits,
+    # check_shock_angle): enables the trig-free parallel transforms;
+    # in this mode the scattering phase-angle adjustment is skipped
+    # (its only observable is the pxz diagnostic, which the parallel
+    # smoother hardcodes to zero, smoothers.jl:183)
+    parallel: bool = True
 
 
 def _mod2pi(x):
@@ -171,15 +183,18 @@ def helix_step(state: ParticleState, tallies: Tallies,
     u = _lane_uniforms(state)
 
     # ---- gather zone fields ------------------------------------------------
+    # all eight zone fields arrive through ONE one-hot matmul (gathers
+    # carry flat per-op launch overhead on TPU; a [B, nb] x [nb, 8]
+    # contraction rides the MXU); the stack is loop-invariant/hoisted
     ig = state.igrid
-    ux = grids.ux[ig]
-    uz = grids.uz[ig]
-    utot = grids.utot[ig]
-    gsf = grids.gamma_sf[ig]
-    gef = grids.gamma_ef[ig]
-    bmag = grids.btot[ig]
-    bcos = grids.b_cos[ig]
-    bsin = grids.b_sin[ig]
+    zstack = jnp.stack([grids.ux, grids.uz, grids.utot, grids.gamma_sf,
+                        grids.gamma_ef, grids.btot, grids.b_cos,
+                        grids.b_sin], axis=1)          # [nb, 8]
+    ig_oh = jax.nn.one_hot(ig, ss.nb, dtype=zstack.dtype)
+    zf = jnp.einsum("bn,nf->bf", ig_oh, zstack,
+                    preferred_element_type=zstack.dtype)  # [B, 8]
+    ux, uz, utot, gsf = zf[:, 0], zf[:, 1], zf[:, 2], zf[:, 3]
+    gef, bmag, bcos, bsin = zf[:, 4], zf[:, 5], zf[:, 6], zf[:, 7]
 
     if ss.use_custom_eps_b:
         # Blandford-McKee decay beyond the grid end
@@ -209,14 +224,19 @@ def helix_step(state: ParticleState, tallies: Tallies,
     # reconstruct the old gamma from ux_prev.
     beta_old = state.ux_prev / c
     gsf_old = 1.0 / jnp.sqrt(jnp.maximum(1.0 - beta_old**2, 1.0e-30))
-    tr = transform_p_psp(
-        pb, pperp, gamma_pf, phi,
-        state.ux_prev, jnp.zeros_like(uz), jnp.abs(state.ux_prev), gsf_old,
-        jnp.ones_like(bcos), jnp.zeros_like(bsin),
-        ux, uz, utot, gsf, bcos, bsin, m, c)
-    pb = jnp.where(changed, tr.pb_pf, pb)
-    pperp = jnp.where(changed, tr.pperp_pf, pperp)
-    phi = jnp.where(changed, tr.phi, phi)
+    if ss.parallel:
+        pb_tr, g_tr = transform_p_psp_parallel(
+            pb, pperp, gamma_pf, state.ux_prev, gsf_old, ux, gsf, m, c)
+        pb = jnp.where(changed, pb_tr, pb)
+    else:
+        tr = transform_p_psp(
+            pb, pperp, gamma_pf, phi,
+            state.ux_prev, jnp.zeros_like(uz), jnp.abs(state.ux_prev),
+            gsf_old, jnp.ones_like(bcos), jnp.zeros_like(bsin),
+            ux, uz, utot, gsf, bcos, bsin, m, c)
+        pb = jnp.where(changed, tr.pb_pf, pb)
+        pperp = jnp.where(changed, tr.pperp_pf, pperp)
+        phi = jnp.where(changed, tr.phi, phi)
     ptot = jnp.hypot(pb, pperp)
     gamma_pf = jnp.hypot(ptot / mc, 1.0)
     # the lane's momenta are now expressed in this zone's flow frame;
@@ -232,10 +252,14 @@ def helix_step(state: ParticleState, tallies: Tallies,
         do_block3 &= ~esc_noscat
 
     # escape: pmax in both frames (particle_loop.jl:261-275)
-    sk0 = transform_p_ps(pb, pperp, gamma_pf, phi, ux, uz, utot, gsf,
-                         bcos, bsin, m, c)
+    if ss.parallel:
+        ptot_sk0, _, _ = transform_p_ps_parallel(pb, pperp, gamma_pf, ux,
+                                                 gsf, m, c)
+    else:
+        ptot_sk0 = transform_p_ps(pb, pperp, gamma_pf, phi, ux, uz, utot,
+                                  gsf, bcos, bsin, m, c).ptot_sk
     esc_pmax = (do_block3 & (ptot > sc.pmax_cutoff)
-                & (sk0.ptot_sk > sc.pmax_cutoff))
+                & (ptot_sk0 > sc.pmax_cutoff))
     status = jnp.where(esc_pmax, FINISHED, status)
     reason = jnp.where(esc_pmax, st.R_UPSTREAM_PMAX, reason)
     do_block3 &= ~esc_pmax
@@ -268,12 +292,21 @@ def helix_step(state: ParticleState, tallies: Tallies,
         reason = jnp.where(dead, st.R_RADIATED, reason)
         do_block3 &= ~dead
 
-    # pitch-angle scattering (particle_loop.jl:338-345)
+    # pitch-angle scattering (particle_loop.jl:338-345); cos_max takes
+    # one of two precomputed values (coarse/fine step counts)
     if not ss.dont_scatter:
+        cmax_coarse = math.cos(math.sqrt(
+            12.0 * math.pi / (ss.xn_per_coarse * ss.eta_mfp)))
+        cmax_fine = math.cos(math.sqrt(
+            12.0 * math.pi / (ss.xn_per_fine * ss.eta_mfp)))
+        cos_max = jnp.where(state.xn_per == ss.xn_per_coarse,
+                            cmax_coarse, cmax_fine).astype(p_dtype)
         res = scattering(u[:, _U_SCAT1], u[:, _U_SCAT2], pb, pperp, phi,
                          ptot, gamma_pf, state.xn_per, gyro_denom,
                          jnp.asarray(ss.is_electron), sc.pe_crit,
-                         sc.gamma_e_crit, ss.eta_mfp, mc, c)
+                         sc.gamma_e_crit, ss.eta_mfp, mc, c,
+                         cos_max=cos_max,
+                         phase_adjust=not ss.parallel)
         pb = jnp.where(do_block3, res.pb, pb)
         pperp = jnp.where(do_block3, res.pperp, pperp)
         phi = jnp.where(do_block3, res.phi, phi)
@@ -339,9 +372,14 @@ def helix_step(state: ParticleState, tallies: Tallies,
     for k in range(_N_REFLECT_TRIES):
         phi_try = _mod2pi(phi_m + 2.0 * jnp.pi / xn_per)
         x_move = pb_m * t_step / (gamma_pf * m)
-        dx = gsf * (x_move * bcos
-                    - r_g_perp * bsin * (jnp.cos(phi_try) - jnp.cos(phi_old))
-                    + ux * t_step)
+        if ss.parallel:
+            # b_sin = 0: the gyro-phase excursion term vanishes
+            dx = gsf * (x_move + ux * t_step)
+        else:
+            dx = gsf * (x_move * bcos
+                        - r_g_perp * bsin
+                        * (jnp.cos(phi_try) - jnp.cos(phi_old))
+                        + ux * t_step)
         x_try = x_old + dx.astype(jnp.float64)
         if check_reflect:
             # reflection at the shock when DSA is off or the injection
@@ -367,9 +405,13 @@ def helix_step(state: ParticleState, tallies: Tallies,
     # in one retry; cap mirrors the bounded-loop design)
     phi_try = _mod2pi(phi_m + 2.0 * jnp.pi / xn_per)
     x_move = pb_m * t_step / (gamma_pf * m)
-    dx = gsf * (x_move * bcos
-                - r_g_perp * bsin * (jnp.cos(phi_try) - jnp.cos(phi_old))
-                + ux * t_step)
+    if ss.parallel:
+        dx = gsf * (x_move + ux * t_step)
+    else:
+        dx = gsf * (x_move * bcos
+                    - r_g_perp * bsin
+                    * (jnp.cos(phi_try) - jnp.cos(phi_old))
+                    + ux * t_step)
     x_new = jnp.where(done_move, x_new, x_old + dx.astype(jnp.float64))
     phi_fin = jnp.where(done_move, phi_fin, phi_try)
     pb = jnp.where(moving, pb_m, pb)
@@ -387,13 +429,26 @@ def helix_step(state: ParticleState, tallies: Tallies,
     inj = state.inj | (moving & downstream & (x_new < 0.0))
 
     # ---- all_flux: tallies + new zone (all_flux.jl:45-259) -----------------
-    ig_new = (jnp.searchsorted(grids.x_grid, x_new, side="right") - 1
-              ).astype(jnp.int32)
+    # branchless zone lookup: a [B, nb] compare + row-sum fuses into
+    # one elementwise/reduce kernel (searchsorted would emit a gather
+    # cascade with per-op launch overhead)
+    ig_new = (jnp.sum(x_new[:, None] >= grids.x_grid[None, :],
+                      axis=1).astype(jnp.int32) - 1)
     ig_new = jnp.clip(ig_new, 0, ss.nb - 2)
     ig_new = jnp.where(moving, ig_new, ig)
 
-    sk = transform_p_ps(pb, pperp, gamma_pf, phi, ux, uz, utot, gsf,
-                        bcos, bsin, m, c)
+    if ss.parallel:
+        from .transforms import ShockFrameMomentum
+        pt_sk, px_sk, g_sk = transform_p_ps_parallel(
+            pb, pperp, gamma_pf, ux, gsf, m, c)
+        # p_z = p_perp cos(phi + pi/2) = -p_perp sin(phi); only the
+        # (parallel-ignored) pxz diagnostic uses it
+        pz_sk = -pperp * jnp.sin(phi)
+        sk = ShockFrameMomentum(pt_sk, px_sk, jnp.zeros_like(px_sk),
+                                pz_sk, g_sk)
+    else:
+        sk = transform_p_ps(pb, pperp, gamma_pf, phi, ux, uz, utot, gsf,
+                            bcos, bsin, m, c)
     spike = sk.ptot_sk > jnp.abs(sk.px_sk) * ALL_FLUX_SPIKE_AWAY
     abs_inv_vx = jnp.where(
         spike,
@@ -437,17 +492,21 @@ def helix_step(state: ParticleState, tallies: Tallies,
     flat_base = ((kind * (ss.n_mom + 1) + ip_sk) * (ss.n_theta + 1)
                  + jt_sk) * nzc
 
-    # record the step's crossings; flush every `chunk` steps, where
-    # the chunk size is the record buffer's static leading extent
-    chunk = tallies.rec_lo.shape[0]
+    # record the step's crossings in ONE packed dynamic write; flush
+    # every `chunk` steps (chunk = the buffer's static leading extent).
+    # Index rows are stored exactly as floats (all values < 2^24).
+    chunk = tallies.rec.shape[0]
     phase = jnp.mod(tallies.step_phase, chunk)
+    rd = tallies.rec.dtype
+    rec = jnp.concatenate([
+        vals.astype(rd),
+        psd_w.astype(rd)[None, :],
+        lo_c.astype(rd)[None, :],
+        hi_c.astype(rd)[None, :],
+        flat_base.astype(rd)[None, :],
+    ])                                                     # [8, B]
     tallies = tallies._replace(
-        rec_lo=tallies.rec_lo.at[phase].set(lo_c.astype(jnp.int32)),
-        rec_hi=tallies.rec_hi.at[phase].set(hi_c.astype(jnp.int32)),
-        rec_vals=tallies.rec_vals.at[phase].set(
-            vals.astype(tallies.rec_vals.dtype)),
-        rec_psd_idx=tallies.rec_psd_idx.at[phase].set(flat_base),
-        rec_psd_w=tallies.rec_psd_w.at[phase].set(psd_w),
+        rec=tallies.rec.at[phase].set(rec),
         step_phase=tallies.step_phase + 1,
     )
     tallies = lax.cond(phase == chunk - 1,
@@ -587,18 +646,18 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
     signed one-hot MXU contraction for the four flux channels and one
     flattened scatter pair for the CR/thermal histograms, per chunk of
     steps instead of per step."""
-    lo = t.rec_lo.reshape(-1)
-    hi = t.rec_hi.reshape(-1)
-    dtype = t.rec_vals.dtype
+    lo = t.rec[:, 5, :].reshape(-1).astype(jnp.int32)
+    hi = t.rec[:, 6, :].reshape(-1).astype(jnp.int32)
+    base = t.rec[:, 7, :].reshape(-1).astype(jnp.int32)
+    dtype = t.rec.dtype
     range_oh = (jax.nn.one_hot(lo, ss.nb + 1, dtype=dtype)
                 - jax.nn.one_hot(hi + 1, ss.nb + 1, dtype=dtype))
-    vals = jnp.moveaxis(t.rec_vals, 1, 0).reshape(4, -1)  # [4, chunk*B]
+    vals = jnp.moveaxis(t.rec[:, :4, :], 1, 0).reshape(4, -1)
     delta = jnp.einsum("cb,bn->cn", vals, range_oh,
                        preferred_element_type=dtype)
     flux_diff = t.flux_diff + delta.astype(jnp.float64)
 
-    base = t.rec_psd_idx.reshape(-1)
-    w = t.rec_psd_w.reshape(-1)
+    w = t.rec[:, 4, :].reshape(-1).astype(t.psd_diff.dtype)
     psd_flat = t.psd_diff.reshape(-1)
     psd_flat = psd_flat.at[base + lo].add(w)
     psd_flat = psd_flat.at[base + hi + 1].add(-w)
@@ -606,11 +665,7 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
     return t._replace(
         flux_diff=flux_diff,
         psd_diff=psd_flat.reshape(t.psd_diff.shape),
-        rec_lo=jnp.zeros_like(t.rec_lo),
-        rec_hi=jnp.zeros_like(t.rec_hi),
-        rec_vals=jnp.zeros_like(t.rec_vals),
-        rec_psd_idx=jnp.zeros_like(t.rec_psd_idx),
-        rec_psd_w=jnp.zeros_like(t.rec_psd_w),
+        rec=jnp.zeros_like(t.rec),
     )
 
 
@@ -778,9 +833,12 @@ def _retro_step(in_retro, status, reason, x, prp_x, pb, pperp, phi,
     phi_new = _mod2pi(phi + 2.0 * jnp.pi / xn_per_retro)
     x_move = pb * t_fac / m
     r_g = pperp * c * gden
-    dx = gsf * (x_move * bcos
-                - r_g * bsin * (jnp.cos(phi_new) - jnp.cos(phi_old))
-                + u_back * t_step)
+    if ss.parallel:
+        dx = gsf * (x_move + u_back * t_step)
+    else:
+        dx = gsf * (x_move * bcos
+                    - r_g * bsin * (jnp.cos(phi_new) - jnp.cos(phi_old))
+                    + u_back * t_step)
     x_try = x + dx.astype(jnp.float64)
 
     acct_new = acct + (t_step * gef).astype(jnp.float64)

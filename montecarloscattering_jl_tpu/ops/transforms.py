@@ -124,6 +124,37 @@ def transform_p_psp(pb, pperp, gamma_pf, phi,
     return PlasmaMomentum(ptot_pf, pb_pf, pperp_pf, gamma_pf_new, phi_new)
 
 
+def transform_p_ps_parallel(pb, pperp, gamma_pf, ux, gamma_sf, m,
+                            c: float):
+    """Plasma -> shock frame for a PARALLEL shock (theta_B = 0): B is
+    along x, so pb IS p_x and pperp is boost-invariant — no gyro-phase
+    trigonometry is needed (the general transform_p_ps reduces to this
+    with b_cos = 1, b_sin = 0, uz = 0).
+
+    Returns (ptot_sk, px_sk, gamma_sk).
+    """
+    px_sk = gamma_sf * (pb + gamma_pf * m * ux)
+    ptot_sk = jnp.hypot(px_sk, pperp)
+    gamma_sk = jnp.hypot(ptot_sk / (m * c), 1.0)
+    return ptot_sk, px_sk, gamma_sk
+
+
+def transform_p_psp_parallel(pb, pperp, gamma_pf, ux_old, gamma_sf_old,
+                             ux, gamma_sf, m, c: float):
+    """Old plasma -> shock -> new plasma for a PARALLEL shock: only the
+    parallel component boosts; pperp and the gyro phase are invariant.
+
+    Returns (pb_new, gamma_pf_new); pperp is unchanged.
+    """
+    px_sk = gamma_sf_old * (pb + gamma_pf * m * ux_old)
+    ptot_sk = jnp.hypot(px_sk, pperp)
+    gamma_sk = jnp.hypot(ptot_sk / (m * c), 1.0)
+    pb_new = gamma_sf * (px_sk - gamma_sk * m * ux)
+    ptot_new = jnp.hypot(pb_new, pperp)
+    gamma_new = jnp.hypot(ptot_new / (m * c), 1.0)
+    return pb_new, gamma_new
+
+
 def boost_x(ptot, px, gamma_rel, beta_rel, e0, c: float):
     """Boost a momentum (ptot, px) along -x by (gamma_rel, beta_rel):
     the center-point rebinning transform used in the reduction layer

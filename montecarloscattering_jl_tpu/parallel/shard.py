@@ -51,9 +51,7 @@ def sharded_run_segment(mesh: Mesh, ss: stp.StepStatic):
     # tally record buffers carry a lane axis and shard with the batch;
     # everything else is replicated (and psum-reduced on the way out)
     tally_spec = stt.Tallies(*[P() for _ in stt.Tallies._fields])._replace(
-        rec_lo=P(None, DP_AXIS), rec_hi=P(None, DP_AXIS),
-        rec_vals=P(None, None, DP_AXIS),
-        rec_psd_idx=P(None, DP_AXIS), rec_psd_w=P(None, DP_AXIS))
+        rec=P(None, None, DP_AXIS))
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(state_spec, tally_spec, P(), P()),
