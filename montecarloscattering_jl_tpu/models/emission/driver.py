@@ -61,6 +61,14 @@ class EmissionResult:
     tot_shell: np.ndarray       # [n_tot, n_shells]
     tot: np.ndarray             # [n_tot]
 
+    def synch_photon_rate(self) -> np.ndarray:
+        """Per-zone synchrotron photon production rate d2N/(dE dt)
+        [photons / (erg s)] — the quantity the reference stashes in
+        its SSC scratch file (synch_emission.jl:78-105) for future
+        synchrotron-self-Compton cooling.  Computed from the stored
+        dP/d(lnE) grid by dividing twice by photon energy."""
+        return self.synch_grid / self.e_synch[:, None] ** 2
+
 
 def doppler_shift_to_ism(grid: np.ndarray, e_gamma: np.ndarray,
                          beta_ef: np.ndarray, gamma_ef: np.ndarray

@@ -333,6 +333,33 @@ def thermo_calcs(psd, therm_psd, bins: PsdBins, m_ion: float,
     return p_par, p_perp, e_dens
 
 
+def pitch_histograms(psd, bins: PsdBins, decades_per_group: int = 1
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized pitch-cosine distributions per momentum decade and
+    zone — the working form of the reference's dormant
+    track_pitch_angles (transformers.jl:319-401): the PSD already IS a
+    (p, theta, zone) histogram, so the pitch distributions are a
+    grouped sum over the momentum axis divided by the cosine bin
+    widths.
+
+    Returns (cos_centers [n_theta+1], hist [n_groups, n_theta+1, nb])
+    with each nonempty (group, zone) column normalized to unit sum.
+    """
+    cos_b = bins.cos_bounds()
+    dcos = np.abs(np.diff(cos_b))                    # [n_theta+1]
+    n_per_group = bins.bins_per_dec_mom * decades_per_group
+    n_groups = (psd.shape[0] + n_per_group - 1) // n_per_group
+    nb = psd.shape[-1]
+    out = np.zeros((n_groups, bins.n_theta + 1, nb))
+    p = np.asarray(psd)
+    for g in range(n_groups):
+        sl = slice(g * n_per_group, (g + 1) * n_per_group)
+        out[g] = p[sl].sum(axis=0) / dcos[:, None]
+    tot = out.sum(axis=1, keepdims=True)
+    out = np.divide(out, tot, out=np.zeros_like(out), where=tot > 0)
+    return bins.cos_centers(), out
+
+
 def dndp_2d_ef(psd, therm_psd, bins: PsdBins, m_ion: float, zone_pop,
                num_crossings, n0_ion: float, beta0: float, gamma0: float):
     """ISM-frame d2N/(dp dcos) for the electron IC calculation
