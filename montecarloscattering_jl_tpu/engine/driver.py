@@ -11,6 +11,7 @@ import logging
 import time
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,7 +124,7 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
 def run(cfg: RunConfig | str, out_dir: str | None = None,
         emission_hook=None, p_dtype=None, mesh=None,
         checkpoint: str | None = None,
-        resume: str | None = None) -> RunResult:
+        resume: str | None = None, fused: bool = True) -> RunResult:
     """Full nonlinear run (main_loops.jl:52-391).
 
     `emission_hook(setup, prof, ion_finals, i_iter)` is called after
@@ -135,6 +136,12 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     never implemented, MonteCarloScattering.jl:462).
     """
     from ..utils.tracing import PhaseTimers
+    # positions/PRP/acctime are float64 by contract (the grid spans 14
+    # decades): enforce x64 for library callers who haven't set it,
+    # before any array is built — momenta stay p_dtype-selectable
+    if not jax.config.jax_enable_x64:
+        log.info("enabling jax_enable_x64 (position precision contract)")
+        jax.config.update("jax_enable_x64", True)
     timers = PhaseTimers()
     t_start = time.time()
     if isinstance(cfg, str):
@@ -144,7 +151,7 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     kw = {}
     if p_dtype is not None:
         kw["p_dtype"] = p_dtype
-    engine = TransportEngine(setup, mesh=mesh, **kw)
+    engine = TransportEngine(setup, mesh=mesh, fused=fused, **kw)
     prof = setup.profile
     nb = setup.nb
 

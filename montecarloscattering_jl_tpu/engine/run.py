@@ -82,6 +82,7 @@ class TransportEngine:
     mesh: object = None
     batch_size: int = 0
     tally_chunk: int = 8
+    fused: bool = True
     n_pushes_total: int = 0
     n_trajectories_total: int = 0
 
@@ -231,6 +232,60 @@ class TransportEngine:
         trajectories = n0
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
+
+        if self.fused and (self.mesh is None or self.mesh.size <= 1):
+            # one device program for the whole pcut ladder: on-device
+            # splitting inside a lax.scan (ops/fused_ion.py) kills the
+            # 45 host round trips of the loop below
+            from ..ops.fused_ion import run_ion_fused_jit
+            n_pcuts = len(cfg.pcuts)
+            pcuts = jnp.asarray(cfg.pcuts, self.p_dtype)
+            pcut_prevs = jnp.asarray(
+                np.concatenate([[0.0], cfg.pcuts[:-1]]), self.p_dtype)
+            n_targets = jnp.asarray(
+                [cfg.n_pts_pcut if p < p_pcut_hi else cfg.n_pts_pcut_hi
+                 for p in cfg.pcuts], jnp.int32)
+            seg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                ion_key, jnp.arange(1, n_pcuts + 1, dtype=jnp.uint32))
+            sc = self.segment_scalars(i_ion, 0, prof.bmag2)
+            tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
+                                   len(cfg.x_spec), self.n_tcut_slots,
+                                   self.psd_dtype, batch=b,
+                                   chunk=self.tally_chunk,
+                                   p_dtype=self.p_dtype)
+            state, tal, esc, n_new, nsteps = run_ion_fused_jit(
+                state, tal, esc, grids, sc, ss,
+                pcuts, pcut_prevs, n_targets, seg_keys)
+            fin = stt.finalize_tallies(tal)
+            it.pxx_flux += np.asarray(fin.pxx_flux)
+            it.pxz_flux += np.asarray(fin.pxz_flux)
+            it.energy_flux += np.asarray(fin.energy_flux)
+            it.px_esc_upstream += float(fin.px_esc_up)
+            it.energy_esc_upstream += float(fin.en_esc_up)
+            it.sum_p_downstream += float(fin.sum_p_dw) * s.number_density
+            it.sum_ke_downstream += float(fin.sum_ke_dw) * s.number_density
+            if cfg.do_tcuts:
+                it.weight_coupled[:, i_ion] += np.asarray(
+                    fin.weight_coupled)
+                it.spectra_coupled[:, :, i_ion] += np.asarray(
+                    fin.spectra_coupled)
+            psd_acc += np.asarray(fin.psd)
+            therm_acc += np.asarray(fin.therm_psd)
+            ncross_acc += np.asarray(fin.num_crossings)
+            spectra_sf += np.asarray(fin.spectra_sf)
+            spectra_pf += np.asarray(fin.spectra_pf)
+            if it.energy_pool is not None and not ss.is_electron:
+                it.energy_pool += np.asarray(fin.energy_pool)
+            pushes = int(np.asarray(nsteps, np.uint64).sum())
+            trajectories += int(np.asarray(n_new, np.int64).sum())
+            self.n_pushes_total += pushes
+            self.n_trajectories_total += trajectories
+            return IonResult(
+                psd=psd_acc, therm_psd=therm_acc,
+                num_crossings=ncross_acc,
+                esc=jax.tree.map(np.asarray, esc),
+                spectra_sf=spectra_sf, spectra_pf=spectra_pf,
+                n_pushes=pushes, n_trajectories=trajectories)
 
         seg_run = self._segment_runner(ss)
         for i_pcut in range(len(cfg.pcuts)):

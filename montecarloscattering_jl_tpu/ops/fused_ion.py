@@ -1,0 +1,107 @@
+"""Fused ion pass: all pcut segments of one species in ONE device
+program.
+
+The host-level pcut loop (cuts.jl:34-124 splitting between segments)
+costs a device->host->device round trip per pcut (45 in the baseline).
+Here the splitting runs on-device — compaction by stable sort on the
+SAVED flag, replication by integer-divided lane indices — and a
+lax.scan walks the pcut ladder, so one jit call transports a species
+through every splitting level.  A pcut level with nothing saved leaves
+an all-dead population and the remaining scan steps fall through in
+O(1) while-loop iterations each (the reference's pcut_finalize break,
+cuts.jl:115-119, without a host sync).
+
+Used for single-device segments; the mesh path keeps host splitting so
+lane placement (and therefore bitwise results) stay independent of the
+mesh shape (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .finish import EscapeTallies, finish_particles
+from .state import ACTIVE, FINISHED, SAVED, ParticleState, Tallies
+from .step import SegmentGrids, SegmentScalars, StepStatic, run_segment
+
+
+def split_on_device(state: ParticleState, n_target, seg_key
+                    ) -> tuple[ParticleState, jnp.ndarray]:
+    """Build the next pcut population from SAVED lanes without leaving
+    the device (new_pcut, cuts.jl:34-98; host twin: ops/cuts.py).
+
+    Lane j of the new population replays saved lane ``j // i_mult``
+    with weight / i_mult — the same interleaved layout np.repeat
+    produces in the host splitter.  Returns (new state, n_new) where
+    n_new = n_saved * i_mult; with nothing saved every lane comes out
+    FINISHED with zero weight (and subsequent segments no-op).
+    """
+    b = state.weight.shape[0]
+    saved = state.status == SAVED
+    n_saved = jnp.sum(saved)
+    # stable partition: saved lanes first, original order preserved
+    order = jnp.argsort(~saved, stable=True)
+    i_mult = jnp.maximum(n_target // jnp.maximum(n_saved, 1), 1)
+    j = jnp.arange(b)
+    src = order[jnp.minimum(j // i_mult, b - 1)]
+    valid = j < n_saved * i_mult
+
+    g = lambda a: a[src]
+    p_dtype = state.pb.dtype
+    lane_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        seg_key, jnp.arange(b, dtype=jnp.uint32))
+
+    new = ParticleState(
+        weight=jnp.where(valid, g(state.weight) / i_mult,
+                         0.0).astype(p_dtype),
+        pb=g(state.pb), pperp=g(state.pperp), phi=g(state.phi),
+        x=g(state.x), igrid=g(state.igrid), ux_prev=g(state.ux_prev),
+        downstream=g(state.downstream), inj=g(state.inj),
+        xn_per=g(state.xn_per),
+        prp_x=g(state.prp_x),
+        acctime=g(state.acctime), tcut=g(state.tcut),
+        status=jnp.where(valid, ACTIVE, FINISHED).astype(jnp.int32),
+        reason=jnp.zeros(b, jnp.int32),
+        retro=jnp.zeros(b, bool),
+        just_returned=jnp.zeros(b, bool),
+        key=lane_keys,
+        nsteps=jnp.zeros(b, jnp.int32),
+        t_step=jnp.zeros(b, p_dtype),
+    )
+    return new, (n_saved * i_mult).astype(jnp.int32)
+
+
+def run_ion_fused(state: ParticleState, tallies: Tallies,
+                  esc: EscapeTallies, grids: SegmentGrids,
+                  sc: SegmentScalars, ss: StepStatic,
+                  pcuts, pcut_prevs, n_targets, seg_keys):
+    """Transport one species through the whole pcut ladder.
+
+    pcuts / pcut_prevs / n_targets / seg_keys are per-pcut arrays
+    scanned over; tallies and escape tallies accumulate across segments
+    (finalize_tallies' zone cumsum is linear, so summing difference
+    arrays before the cumsum equals summing finalized tallies).
+
+    Returns (state, tallies, esc, n_new[n_pcuts], nsteps[n_pcuts]).
+    """
+
+    def body(carry, xs):
+        st, tl, es = carry
+        pcut, pcut_prev, n_target, key = xs
+        sci = sc._replace(pcut=pcut, pcut_prev=pcut_prev)
+        st, tl = run_segment(st, tl, grids, sci, ss)
+        es = finish_particles(st, es, grids, sci, ss)
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint32))
+        st, n_new = split_on_device(st, n_target, key)
+        return (st, tl, es), (n_new, nsteps)
+
+    (state, tallies, esc), (n_new, nsteps) = lax.scan(
+        body, (state, tallies, esc),
+        (pcuts, pcut_prevs, n_targets, seg_keys))
+    return state, tallies, esc, n_new, nsteps
+
+
+run_ion_fused_jit = jax.jit(run_ion_fused, static_argnames=("ss",),
+                            donate_argnums=(0, 1, 2))

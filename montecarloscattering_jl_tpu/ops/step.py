@@ -160,10 +160,23 @@ def _mod2pi(x):
 
 
 def _lane_uniforms(state: ParticleState):
-    """[B, N_UNIFORM] uniforms from (lane key, step counter)."""
+    """[B, N_UNIFORM] uniforms from (lane key, step counter).
+
+    Cost-trimmed threefry: one fold_in block plus two blocks of raw
+    bits per lane per step; the 8 uniforms are the 16-bit halves of
+    the 4 raw words ((h + 0.5) / 2^16 in [0, 1), resolution 1.5e-5 —
+    far below any physical sensitivity of the scattering/return
+    draws).  Streams stay keyed by global lane index, preserving
+    bitwise mesh-shape independence.
+    """
     keys = jax.vmap(jax.random.fold_in)(
         state.key, state.nsteps.astype(jnp.uint32))
-    return jax.vmap(lambda k: jax.random.uniform(k, (_N_UNIFORM,)))(keys)
+    words = jax.vmap(
+        lambda k: jax.random.bits(k, (_N_UNIFORM // 2,), jnp.uint32))(keys)
+    lo = (words & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    hi = (words >> jnp.uint32(16)).astype(jnp.float32)
+    halves = jnp.concatenate([lo, hi], axis=1)        # [B, N_UNIFORM]
+    return (halves + 0.5) * (1.0 / 65536.0)
 
 
 def helix_step(state: ParticleState, tallies: Tallies,
