@@ -31,7 +31,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 REFERENCE_SERIAL_PUSHES_PER_SEC = 2.0e6   # documented estimate, see above
-BATCH = int(os.environ.get("MCS_BENCH_BATCH", 262144))
+BATCH = int(os.environ.get("MCS_BENCH_BATCH", 1048576))
 N_STEPS = int(os.environ.get("MCS_BENCH_STEPS", 256))
 P_DTYPE = (jnp.float32 if os.environ.get("MCS_BENCH_DTYPE", "f32") == "f32"
            else jnp.float64)
