@@ -121,3 +121,45 @@ class TestIApprox:
                 clp, jnp.asarray(bins.mom_bounds_log), mode))
             sums = m.sum(axis=1)
             assert np.allclose(sums, 1.0, atol=1e-9), mode
+
+
+class TestTcuts:
+    """Time-resolved coupling (tcut_track!, cuts.jl:149-162 +
+    tcut_print, io.jl:21-76): particles crossing each acceleration-time
+    threshold deposit their weight and momentum spectrum into the
+    per-tcut coupled accumulators, written as CSVs."""
+
+    def test_coupled_accumulators_and_csv(self, tmp_path):
+        cfg = _quick_cfg()
+        cfg.do_tcuts = True
+        # proton gyroperiod here is ~6e4 s, so these straddle the
+        # acctimes the run produces
+        cfg.tcuts = list(np.geomspace(1e3, 1e12, 6))
+        res = run(cfg, out_dir=str(tmp_path))
+        w = res.iterations[-1].tallies.weight_coupled
+        s = res.iterations[-1].tallies.spectra_coupled
+        assert w.shape[0] == 6
+        assert w.sum() > 0, "no particle crossed any tcut"
+        assert s.sum() > 0
+        # a particle crossing tcut k crossed every earlier one too, so
+        # earlier slots accumulate at least as much weight
+        tot = w.sum(axis=1)
+        nz = np.nonzero(tot)[0]
+        assert np.all(np.diff(tot[:nz[-1] + 1]) <= 1e-12)
+
+        wcsv = (tmp_path / "mc_coupled_weights.csv").read_text()
+        assert len(wcsv.splitlines()) == 1 + 6 * cfg.n_ions
+        scsv = (tmp_path / "mc_coupled_spectra.csv").read_text()
+        assert len(scsv.splitlines()) > 1
+
+    def test_fused_matches_host_tcuts(self, tmp_path):
+        def go(fused):
+            cfg = _quick_cfg()
+            cfg.do_tcuts = True
+            cfg.tcuts = list(np.geomspace(1e3, 1e12, 6))
+            return run(cfg, fused=fused)
+
+        f, h = go(True), go(False)
+        np.testing.assert_allclose(
+            f.iterations[-1].tallies.weight_coupled,
+            h.iterations[-1].tallies.weight_coupled, rtol=1e-6)
