@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -233,7 +234,13 @@ class TransportEngine:
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
 
-        if self.fused and (self.mesh is None or self.mesh.size <= 1):
+        # The fused ladder crashes the TPU runtime at batch >= 128k
+        # (worker "kernel fault", reproducible; 64k is solid and the
+        # host-split path handles any size) — gate it, overridable via
+        # MCS_FUSED_MAX_BATCH once the runtime is fixed.
+        fused_max = int(os.environ.get("MCS_FUSED_MAX_BATCH", 65536))
+        if (self.fused and self.batch_size <= fused_max
+                and (self.mesh is None or self.mesh.size <= 1)):
             # one device program for the whole pcut ladder: on-device
             # splitting inside a lax.scan (ops/fused_ion.py) kills the
             # 45 host round trips of the loop below
