@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                     help="resume the iteration loop from a checkpoint")
     ap.add_argument("--cache-dir", default=None,
                     help="persistent XLA compilation cache directory")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="use host-side pcut splitting instead of the "
+                         "fused on-device ladder")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -68,7 +71,7 @@ def main(argv=None) -> int:
     result = run(cfg, out_dir=args.out_dir,
                  p_dtype=jnp.float32 if args.f32 else jnp.float64,
                  mesh=mesh, checkpoint=args.checkpoint,
-                 resume=args.resume)
+                 resume=args.resume, fused=not args.no_fused)
     dt = time.time() - t0
     print(f"finished: {len(result.iterations)} iterations, "
           f"{result.n_trajectories} trajectories, "
