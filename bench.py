@@ -72,7 +72,9 @@ def main() -> None:
     def fresh_tal():
         return stt.make_tallies(setup.nb, setup.bins.n_mom,
                                 setup.bins.n_theta, 0, 0, jnp.float32,
-                                batch=BATCH, chunk=8, p_dtype=P_DTYPE)
+                                batch=BATCH,
+                                chunk=int(os.environ.get("MCS_BENCH_CHUNK", 8)),
+                                p_dtype=P_DTYPE)
 
     def steps(state, tal):
         def body(i, c):
