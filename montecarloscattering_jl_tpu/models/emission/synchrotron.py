@@ -98,7 +98,6 @@ def ssc_equivalent_field(n0_mass: float, f_energy_upstream: float,
                          u2: float) -> float:
     """Downstream field for SSC zones beyond the grid, assuming
     eps_B = 1e-3 (synch_emission.jl:48-55)."""
-    e0 = n0_mass * MP_C2 / MP_CGS * MP_CGS  # = n0_mass c^2 with mass dens
     e0 = n0_mass * C_CGS**2
     energy_density = ((f_energy_upstream + gamma0 * u0 * e0) / u2
                       - f_px_upstream)

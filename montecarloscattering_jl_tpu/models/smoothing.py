@@ -254,6 +254,9 @@ def smooth_grid(i_iter: int, i_shock: int, prof: ShockProfile,
         pen_tp = ((f_en_up + gamma0 * u0 * e_rest * (1.0 - gamma2))
                   / (gamma2**2 * u2 * gamma2_rh / (gamma2_rh - 1.0)))
 
+    # pxz_norm: for a parallel shock the z-momentum flux is irrelevant
+    # and the reference hardcodes the column to 1e-99
+    # (smoothers.jl:182-185); kept identical for mc_grid.dat parity.
     diag = SmoothDiagnostics(
         pxx_norm=pxx_norm, pxz_norm=np.full(nb, 1e-99),
         energy_norm=energy_norm, pressure_px=pres_px,

@@ -76,7 +76,8 @@ def split_on_device(state: ParticleState, n_target, seg_key
 def run_ion_fused(state: ParticleState, tallies: Tallies,
                   esc: EscapeTallies, grids: SegmentGrids,
                   sc: SegmentScalars, ss: StepStatic,
-                  pcuts, pcut_prevs, n_targets, seg_keys):
+                  pcuts, pcut_prevs, n_targets, seg_keys,
+                  compact_levels: int = 0):
     """Transport one species through the whole pcut ladder.
 
     pcuts / pcut_prevs / n_targets / seg_keys are per-pcut arrays
@@ -91,9 +92,11 @@ def run_ion_fused(state: ParticleState, tallies: Tallies,
         st, tl, es = carry
         pcut, pcut_prev, n_target, key = xs
         sci = sc._replace(pcut=pcut, pcut_prev=pcut_prev)
-        st, tl = run_segment(st, tl, grids, sci, ss)
+        st, tl = run_segment(st, tl, grids, sci, ss, compact_levels)
         es = finish_particles(st, es, grids, sci, ss)
-        nsteps = jnp.sum(st.nsteps.astype(jnp.uint32))
+        # uint64: per-lane caps are 1e4 and batches reach 1e6+ lanes,
+        # so a segment's push count can exceed the uint32 range
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))
         st, n_new = split_on_device(st, n_target, key)
         return (st, tl, es), (n_new, nsteps)
 
@@ -103,5 +106,6 @@ def run_ion_fused(state: ParticleState, tallies: Tallies,
     return state, tallies, esc, n_new, nsteps
 
 
-run_ion_fused_jit = jax.jit(run_ion_fused, static_argnames=("ss",),
+run_ion_fused_jit = jax.jit(run_ion_fused,
+                            static_argnames=("ss", "compact_levels"),
                             donate_argnums=(0, 1, 2))

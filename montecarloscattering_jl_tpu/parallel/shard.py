@@ -28,9 +28,21 @@ DP_AXIS = "dp"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D data-parallel mesh over the available devices."""
+    """1-D data-parallel mesh over the available devices.
+
+    With ``n_devices`` set, fewer available devices is an error — a
+    silently truncated mesh would "validate" multi-chip semantics on a
+    smaller (or single-device) mesh while claiming the requested size.
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} device(s) are visible "
+                f"({jax.default_backend()} backend); force a virtual "
+                f"CPU mesh with JAX_PLATFORMS=cpu and "
+                f"--xla_force_host_platform_device_count={n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DP_AXIS,))
 
@@ -41,11 +53,14 @@ def _state_spec() -> stt.ParticleState:
         *([0] * len(stt.ParticleState._fields))))
 
 
-def sharded_run_segment(mesh: Mesh, ss: stp.StepStatic):
+def sharded_run_segment(mesh: Mesh, ss: stp.StepStatic,
+                        compact_levels: int = 0):
     """Build the jitted sharded segment runner for a static config.
 
     Returns f(state, tallies, grids, sc) -> (state, tallies) with the
     state sharded over lanes and tallies psum-reduced (replicated).
+    compact_levels applies the live-lane compaction ladder per shard
+    (each shard drains its own lanes; no collectives in the ladder).
     """
     state_spec = _state_spec()
     # tally record buffers carry a lane axis and shard with the batch;
@@ -58,7 +73,8 @@ def sharded_run_segment(mesh: Mesh, ss: stp.StepStatic):
              out_specs=(state_spec, tally_spec),
              check_vma=False)
     def seg(state, tallies, grids, sc):
-        s, t = stp.run_segment(state, tallies, grids, sc, ss)
+        s, t = stp.run_segment(state, tallies, grids, sc, ss,
+                               compact_levels)
         # one ICI reduction per segment: the analogue of the
         # reference's "omp critical" tally sections
         t = jax.tree.map(lambda x: jax.lax.psum(x, DP_AXIS), t)
