@@ -36,6 +36,16 @@ def main(argv=None) -> int:
     ap.add_argument("--no-fused", action="store_true",
                     help="use host-side pcut splitting instead of the "
                          "fused on-device ladder")
+    ap.add_argument("--compact-levels", type=int, default=-1,
+                    help="live-lane compaction ladder depth "
+                         "(-1 auto, 0 off)")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: jax.distributed coordinator "
+                         "address (host:port)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -61,6 +71,12 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.coordinator is not None or args.num_processes is not None:
+        from .parallel.multihost import init_distributed
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+
     cfg = load_config(args.config)
     mesh = None
     if args.devices != 1 and len(jax.devices()) > 1:
@@ -71,7 +87,8 @@ def main(argv=None) -> int:
     result = run(cfg, out_dir=args.out_dir,
                  p_dtype=jnp.float32 if args.f32 else jnp.float64,
                  mesh=mesh, checkpoint=args.checkpoint,
-                 resume=args.resume, fused=not args.no_fused)
+                 resume=args.resume, fused=not args.no_fused,
+                 compact_levels=args.compact_levels)
     dt = time.time() - t0
     print(f"finished: {len(result.iterations)} iterations, "
           f"{result.n_trajectories} trajectories, "

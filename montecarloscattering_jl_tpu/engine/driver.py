@@ -124,7 +124,8 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
 def run(cfg: RunConfig | str, out_dir: str | None = None,
         emission_hook=None, p_dtype=None, mesh=None,
         checkpoint: str | None = None,
-        resume: str | None = None, fused: bool = True) -> RunResult:
+        resume: str | None = None, fused: bool = True,
+        compact_levels: int = -1) -> RunResult:
     """Full nonlinear run (main_loops.jl:52-391).
 
     `emission_hook(setup, prof, ion_finals, i_iter)` is called after
@@ -151,7 +152,8 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     kw = {}
     if p_dtype is not None:
         kw["p_dtype"] = p_dtype
-    engine = TransportEngine(setup, mesh=mesh, fused=fused, **kw)
+    engine = TransportEngine(setup, mesh=mesh, fused=fused,
+                             compact_levels=compact_levels, **kw)
     prof = setup.profile
     nb = setup.nb
 

@@ -84,6 +84,12 @@ class TransportEngine:
     batch_size: int = 0
     tally_chunk: int = 8
     fused: bool = True
+    # live-lane compaction ladder depth (ops/step.run_segment): halve
+    # the active window up to this many times as lanes drain.  Lane
+    # trajectories are bitwise unchanged; tally sums reorder at float
+    # rounding, so equivalence tests pin it to 0.  -1 = auto (halve
+    # down to a 4096-lane floor).
+    compact_levels: int = -1
     n_pushes_total: int = 0
     n_trajectories_total: int = 0
 
@@ -98,14 +104,30 @@ class TransportEngine:
             from ..parallel.shard import pad_to_devices
             self.batch_size = pad_to_devices(self.batch_size,
                                              self.mesh.size)
+        if self.compact_levels < 0:
+            self.compact_levels = self._auto_compact_levels()
+
+    def _auto_compact_levels(self) -> int:
+        """Halve the active window down to a 4096-lane floor (per
+        shard when a mesh is set)."""
+        b = self.batch_size
+        if self.mesh is not None and self.mesh.size > 1:
+            b //= self.mesh.size
+        levels = 0
+        while b > 4096 and b % 256 == 0:
+            b //= 2
+            levels += 1
+        return levels
 
     def _segment_runner(self, ss):
         """Plain or sharded segment executor for a static config."""
+        lv = self.compact_levels
         if self.mesh is None or self.mesh.size <= 1:
-            return stp.run_segment_jit
+            return (lambda st, tl, gr, sc, _ss:
+                    stp.run_segment_jit(st, tl, gr, sc, _ss, lv))
         if ss not in self._sharded_seg:
             from ..parallel.shard import sharded_run_segment
-            f = sharded_run_segment(self.mesh, ss)
+            f = sharded_run_segment(self.mesh, ss, compact_levels=lv)
             self._sharded_seg[ss] = lambda st, tl, gr, sc, _ss: f(
                 st, tl, gr, sc)
         return self._sharded_seg[ss]
@@ -234,12 +256,25 @@ class TransportEngine:
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
 
-        # The fused ladder crashes the TPU runtime at batch >= 128k
-        # (worker "kernel fault", reproducible; 64k is solid and the
-        # host-split path handles any size) — gate it, overridable via
-        # MCS_FUSED_MAX_BATCH once the runtime is fixed.
+        # The fused ladder crashes the TPU runtime when a fused scan
+        # touches >= 128k lanes in one program (worker "kernel fault",
+        # reproducible — scripts/repro_fused_128k.py: whole-batch,
+        # lax.map-blocked, donation on/off all fault; <= 64k is solid).
+        # Above MCS_FUSED_MAX_BATCH the SAME ladder runs over <= 64k
+        # lane blocks as SEPARATE device calls (one compile, n_blocks
+        # dispatches per species — still ~45x fewer round trips than
+        # host splitting).
         fused_max = int(os.environ.get("MCS_FUSED_MAX_BATCH", 65536))
-        if (self.fused and self.batch_size <= fused_max
+        n_blocks = 1
+        if self.fused and self.batch_size > fused_max:
+            n_blocks = -(-self.batch_size // fused_max)
+            while (self.batch_size % n_blocks != 0
+                   or (self.batch_size // n_blocks) % 128 != 0):
+                n_blocks += 1
+                if n_blocks > self.batch_size // 128:
+                    n_blocks = 0   # no usable blocking: host path
+                    break
+        if (self.fused and n_blocks >= 1
                 and (self.mesh is None or self.mesh.size <= 1)):
             # one device program for the whole pcut ladder: on-device
             # splitting inside a lax.scan (ops/fused_ion.py) kills the
@@ -255,14 +290,39 @@ class TransportEngine:
             seg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
                 ion_key, jnp.arange(1, n_pcuts + 1, dtype=jnp.uint32))
             sc = self.segment_scalars(i_ion, 0, prof.bmag2)
+            block = self.batch_size // n_blocks
+            lv = self.compact_levels
+            while lv > 0 and (block >> lv) < 4096:
+                lv -= 1
             tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
                                    len(cfg.x_spec), self.n_tcut_slots,
-                                   self.psd_dtype, batch=b,
+                                   self.psd_dtype, batch=block,
                                    chunk=self.tally_chunk,
                                    p_dtype=self.p_dtype)
-            state, tal, esc, n_new, nsteps = run_ion_fused_jit(
-                state, tal, esc, grids, sc, ss,
-                pcuts, pcut_prevs, n_targets, seg_keys)
+            if n_blocks == 1:
+                state, tal, esc, n_new, nsteps = run_ion_fused_jit(
+                    state, tal, esc, grids, sc, ss,
+                    pcuts, pcut_prevs, n_targets, seg_keys,
+                    compact_levels=lv)
+            else:
+                log.info("fused ladder in %d blocks of %d lanes",
+                         n_blocks, block)
+                block_targets = jnp.maximum(n_targets // n_blocks, 1)
+                n_new = jnp.zeros(n_pcuts, jnp.int64)
+                nsteps = jnp.zeros(n_pcuts, jnp.uint64)
+                for ib in range(n_blocks):
+                    st_b = jax.tree.map(
+                        lambda a: a[ib * block:(ib + 1) * block], state)
+                    keys_b = jax.vmap(jax.random.fold_in,
+                                      in_axes=(0, None))(
+                        seg_keys, jnp.uint32(ib))
+                    st_b, tal, esc, n_new_b, nsteps_b = (
+                        run_ion_fused_jit(
+                            st_b, tal, esc, grids, sc, ss,
+                            pcuts, pcut_prevs, block_targets, keys_b,
+                            compact_levels=lv))
+                    n_new = n_new + n_new_b.astype(jnp.int64)
+                    nsteps = nsteps + nsteps_b
             fin = stt.finalize_tallies(tal)
             it.pxx_flux += np.asarray(fin.pxx_flux)
             it.pxz_flux += np.asarray(fin.pxz_flux)

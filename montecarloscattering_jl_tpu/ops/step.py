@@ -381,7 +381,6 @@ def helix_step(state: ParticleState, tallies: Tallies,
     pb_m, phi_m = pb, phi
     x_new = x_old
     phi_fin = phi
-    check_reflect = ss.dont_dsa or True  # inj_frac may be < 1 dynamically
     for k in range(_N_REFLECT_TRIES):
         phi_try = _mod2pi(phi_m + 2.0 * jnp.pi / xn_per)
         x_move = pb_m * t_step / (gamma_pf * m)
@@ -394,16 +393,15 @@ def helix_step(state: ParticleState, tallies: Tallies,
                         * (jnp.cos(phi_try) - jnp.cos(phi_old))
                         + ux * t_step)
         x_try = x_old + dx.astype(jnp.float64)
-        if check_reflect:
-            # reflection at the shock when DSA is off or the injection
-            # test fails (no_DSA_loop, particle_loop.jl:510-571)
-            cross_up = ((x_try <= 0.0) & (x_old > 0.0) & ~state.inj
-                        & (ss.dont_dsa | (sc.inj_frac < 1.0)))
-            fail = (jnp.asarray(ss.dont_dsa)
-                    | (u[:, _U_REFL_INJ[k]] > sc.inj_frac))
-            refl = ~done_move & cross_up & fail
-        else:
-            refl = jnp.zeros_like(done_move)
+        # reflection at the shock when DSA is off or the injection
+        # test fails (no_DSA_loop, particle_loop.jl:510-571); inj_frac
+        # is a dynamic scalar so the branch is always compiled and the
+        # mask gates it off when inj_frac == 1 and DSA is on
+        cross_up = ((x_try <= 0.0) & (x_old > 0.0) & ~state.inj
+                    & (ss.dont_dsa | (sc.inj_frac < 1.0)))
+        fail = (jnp.asarray(ss.dont_dsa)
+                | (u[:, _U_REFL_INJ[k]] > sc.inj_frac))
+        refl = ~done_move & cross_up & fail
         accept = ~done_move & ~refl
         x_new = jnp.where(accept, x_try, x_new)
         phi_fin = jnp.where(accept, phi_try, phi_fin)
@@ -684,15 +682,31 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
 
 def run_segment(state: ParticleState, tallies: Tallies,
                 grids: SegmentGrids, sc: SegmentScalars,
-                ss: StepStatic) -> tuple[ParticleState, Tallies]:
+                ss: StepStatic,
+                compact_levels: int = 0
+                ) -> tuple[ParticleState, Tallies]:
     """Advance all lanes until none are ACTIVE (one pcut segment).
 
     The helix cap inside `helix_step` bounds the loop at
     MAX_HELIX_STEPS, mirroring particle_loop.jl:162-165, so the
     while_loop always terminates.
+
+    compact_levels > 0 turns on live-lane compaction: lanes die at
+    wildly different step counts (most thermal lanes escape within
+    ~1e2 steps while a few accelerate for ~1e4), and a plain batched
+    while_loop burns full-batch VPU work until the LAST lane drains.
+    The ladder runs the loop on a static window, and whenever the
+    active population falls below the next half-size it partitions
+    active lanes to the front (stable sort) and continues on the front
+    half only — all static shapes, so the whole ladder stays inside
+    one jitted program.  Per-lane trajectories are bitwise unchanged
+    (counter RNG is keyed by lane key x nsteps); only the summation
+    ORDER of the shared tallies changes, i.e. results differ from the
+    uncompacted path at float-rounding level only.  Lanes return in
+    their original order.
     """
 
-    def cond(carry):
+    def cond_any(carry):
         s, _ = carry
         return jnp.any(s.status == ACTIVE)
 
@@ -700,14 +714,87 @@ def run_segment(state: ParticleState, tallies: Tallies,
         s, t = carry
         return helix_step(s, t, grids, sc, ss)
 
-    state, tallies = lax.while_loop(cond, body, (state, tallies))
-    # flush any residual partial chunk (buffers are zeroed at every
-    # flush, so the leftover slots contribute exactly once)
+    b = state.weight.shape[0]
+    sizes = [b]
+    for _ in range(max(compact_levels, 0)):
+        nxt = sizes[-1] // 2
+        # keep windows lane-aligned and big enough to feed the VPU
+        if nxt < 512 or nxt % 128 != 0:
+            break
+        sizes.append(nxt)
+
+    if len(sizes) == 1:
+        state, tallies = lax.while_loop(cond_any, body, (state, tallies))
+        # flush any residual partial chunk (buffers are zeroed at every
+        # flush, so the leftover slots contribute exactly once)
+        tallies = _flush_records(tallies, ss)
+        return state, tallies
+
+    chunk = tallies.rec.shape[0]
+    rd = tallies.rec.dtype
+    # the ladder gives every window its own record buffer: flush any
+    # pending caller records first so none are dropped
     tallies = _flush_records(tallies, ss)
-    return state, tallies
+    # carry each lane's ORIGINAL slot inside the permuted tree (as a
+    # sibling of the state) so the bookkeeping can never desynchronize
+    # from the lane data
+    orig = jnp.arange(b)
+    full = (state, orig)
+    for i, size in enumerate(sizes):
+        last = i == len(sizes) - 1
+        win_st, win_orig = jax.tree.map(lambda a: a[:size], full)
+        win_tal = tallies._replace(
+            rec=jnp.zeros((chunk, 8, size), rd),
+            step_phase=jnp.zeros((), jnp.int32))
+
+        if last:
+            cond = cond_any
+        else:
+            nxt = sizes[i + 1]
+
+            def cond(carry, _nxt=nxt):
+                s, _ = carry
+                a = s.status == ACTIVE
+                return jnp.any(a) & (jnp.sum(a) > _nxt)
+
+        win_st, win_tal = lax.while_loop(cond, body, (win_st, win_tal))
+        win_tal = _flush_records(win_tal, ss)
+        tallies = win_tal._replace(rec=tallies.rec,
+                                   step_phase=tallies.step_phase)
+
+        if not last:
+            # partition the (now <= next-size) active lanes to the
+            # front of this window (stable: equal-status lanes keep
+            # their relative order) so the next, halved window holds
+            # every remaining active lane
+            # optimization_barriers: without them XLA:CPU miscompiles
+            # the argsort -> gather -> dynamic_update_slice chain
+            # between while_loops (lane payloads and the orig
+            # bookkeeping end up permuted INCONSISTENTLY; reproduced on
+            # jax 0.8, 2-level ladder — adding debug outputs makes the
+            # corruption vanish, the classic fusion-bug signature).
+            order = lax.optimization_barrier(
+                jnp.argsort(win_st.status != ACTIVE, stable=True))
+            win_st = jax.tree.map(lambda a: a[order], win_st)
+            win_orig = win_orig[order]
+            win_st, win_orig = lax.optimization_barrier(
+                (win_st, win_orig))
+
+        full = jax.tree.map(
+            lambda fa, wa: lax.dynamic_update_slice_in_dim(
+                fa, wa, 0, axis=0), full, (win_st, win_orig))
+
+    # restore original lane order: lane in slot i belongs at orig[i]
+    state_out, orig = full
+    inv = jnp.zeros_like(orig).at[orig].set(jnp.arange(b))
+    state_out = jax.tree.map(lambda a: a[inv], state_out)
+    # every window flushed its own rec buffer; hand back a clean one
+    tallies = tallies._replace(rec=jnp.zeros_like(tallies.rec),
+                               step_phase=jnp.zeros((), jnp.int32))
+    return state_out, tallies
 
 
-run_segment_jit = jax.jit(run_segment, static_argnums=(4,),
+run_segment_jit = jax.jit(run_segment, static_argnums=(4, 5),
                           donate_argnums=(0, 1))
 
 

@@ -27,8 +27,13 @@ E_REL_PT = 0.005     # particle: (gamma-1) >= this => relativistic particle form
 
 # Hard cap on helix steps per particle per pcut segment; the reference
 # escapes a particle with i_reason=1 after 10_000 steps
-# (particle_loop.jl:162-165).
-MAX_HELIX_STEPS = 10_000
+# (particle_loop.jl:162-165).  Env-overridable: the Keshet-Waxman
+# pitch-angle-diffusion validation (N_g ~ 1e4 steps/gyroperiod) needs
+# far more steps per segment than the default cap allows
+# (scripts/flagship_keshet_waxman.py).
+import os as _os
+
+MAX_HELIX_STEPS = int(_os.environ.get("MCS_MAX_HELIX_STEPS", 10_000))
 
 # 1/cosine spike clamp used when tallying fluxes (all_flux.jl:4)
 ALL_FLUX_SPIKE_AWAY = 1000.0

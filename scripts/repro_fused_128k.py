@@ -5,7 +5,10 @@ configurable batch size.  Round 1 recorded a reproducible TPU runtime
 "kernel fault" at >= 131072 lanes (commit 01a77c7); this script is the
 bisection driver for root-causing it.
 
-Usage: python scripts/repro_fused_128k.py [batch] [n_pcuts]
+Usage: python scripts/repro_fused_128k.py [batch] [n_pcuts] [n_blocks] [levels]
+
+n_blocks > 1 exercises run_ion_fused_blocked (the workaround: the same
+ladder over <= 64k-lane blocks); levels > 0 adds the compaction ladder.
 """
 
 import os
@@ -17,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser(
+    os.environ.get("MCS_CACHE_DIR", "~/.cache/mcs_xla")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -33,7 +39,8 @@ CFG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "data", "dsa_nonrel.toml")
 
 
-def main(batch: int, n_pcuts: int | None):
+def main(batch: int, n_pcuts: int | None, n_blocks: int = 1,
+         levels: int = 0):
     cfg = load_config(CFG)
     setup = build_setup(cfg)
     eng = TransportEngine(setup, fused=True)
@@ -78,12 +85,36 @@ def main(batch: int, n_pcuts: int | None):
                                   fromlist=["EscapeTallies"])
                        .EscapeTallies.zeros(bins.n_mom, bins.n_theta))
 
-    print(f"batch={b} n_pcuts={len(pcut_list)} "
-          f"devices={jax.devices()}", flush=True)
+    print(f"batch={b} n_pcuts={len(pcut_list)} n_blocks={n_blocks} "
+          f"levels={levels} devices={jax.devices()}", flush=True)
     t0 = time.time()
-    state, tal, esc, n_new, nsteps = run_ion_fused_jit(
-        state, tal, esc, grids, sc, ss, pcuts, pcut_prevs,
-        n_targets, seg_keys)
+    if n_blocks > 1:
+        # host-level blocking (the production workaround in
+        # engine/run.py): separate <= 64k-lane jit dispatches, tallies
+        # threaded through.  NOTE: the lax.map on-device variant was
+        # tried and ALSO faults at >= 128k total lanes.
+        block = b // n_blocks
+        block_targets = jnp.maximum(n_targets // n_blocks, 1)
+        tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta, 0, 1,
+                               jnp.float32, batch=block,
+                               chunk=eng.tally_chunk)
+        n_new = jnp.zeros(len(pcut_list), jnp.int64)
+        nsteps = jnp.zeros(len(pcut_list), jnp.uint64)
+        for ib in range(n_blocks):
+            st_b = jax.tree.map(
+                lambda a: a[ib * block:(ib + 1) * block], state)
+            keys_b = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                seg_keys, jnp.uint32(ib))
+            st_b, tal, esc, n_new_b, nsteps_b = run_ion_fused_jit(
+                st_b, tal, esc, grids, sc, ss, pcuts, pcut_prevs,
+                block_targets, keys_b, compact_levels=levels)
+            n_new = n_new + n_new_b.astype(jnp.int64)
+            nsteps = nsteps + nsteps_b
+        state = st_b
+    else:
+        state, tal, esc, n_new, nsteps = run_ion_fused_jit(
+            state, tal, esc, grids, sc, ss, pcuts, pcut_prevs,
+            n_targets, seg_keys, compact_levels=levels)
     jax.block_until_ready(state)
     dt = time.time() - t0
     tot = int(np.asarray(nsteps, np.uint64).sum())
@@ -94,4 +125,6 @@ def main(batch: int, n_pcuts: int | None):
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     np_ = int(sys.argv[2]) if len(sys.argv) > 2 else None
-    main(b, np_)
+    nb_ = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    lv_ = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    main(b, np_, nb_, lv_)
