@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ...utils.constants import KPC_CM, ME_C2, MEV_ERG, MPC_CM
+from ...utils.constants import C_CGS, KPC_CM, ME_C2, MEV_ERG, MPC_CM
 from .inverse_compton import ic_emission, ic_photon_energy_grid
 from .pion import pion_emission
 from .synchrotron import photon_energy_grid, synch_emission
@@ -60,6 +60,11 @@ class EmissionResult:
     e_tot: np.ndarray           # merged grid [n_tot]
     tot_shell: np.ndarray       # [n_tot, n_shells]
     tot: np.ndarray             # [n_tot]
+    # synchrotron self-Compton (None unless calculate-ssc): computed
+    # off each zone's own synchrotron photon field — the cooling loop
+    # the reference scoped but never finished (synch_emission.jl:78-105)
+    ssc_grid: np.ndarray = None     # [n_ic, nb] ISM frame
+    ssc_shell: np.ndarray = None    # [n_ic, n_shells]
 
     def synch_photon_rate(self) -> np.ndarray:
         """Per-zone synchrotron photon production rate d2N/(dE dt)
@@ -165,6 +170,14 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
     pion_grid = np.full((n_pion, nb), 1e-99)
     synch_grid = np.full((n_synch, nb), 1e-99)
     ic_grid = np.full((n_ic, nb), 1e-99)
+    ssc_grid = np.full((n_ic, nb), 1e-99) if cfg.do_ssc else None
+    if cfg.do_ssc:
+        from ...ops.reduce import shell_surface_areas
+        surf = shell_surface_areas(setup.x_grid_cm, setup.i_shock,
+                                   cfg.gamma0, cfg.jet_rad_pc,
+                                   cfg.jet_sph_frac)
+        dlne = math.log(10.0) / BINS_PER_DEC_PHOTON
+        a1_synch = e_synch / ME_C2
 
     dp = np.diff(bins.mom_edges)
     p_edges = bins.mom_edges
@@ -191,6 +204,7 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
                 pion_grid[:, n] = np.maximum(
                     pion_grid[:, n], 0.0) + emis * flux_fac
             else:
+                emis = None
                 if counts.max() > 1e-90:
                     emis = synch_emission(counts, p_edges, prof.btot[n],
                                           e_synch)
@@ -202,6 +216,19 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
                             d2n_counts, p_edges, cos_bounds, alpha_ic,
                             setup.redshift, cfg.jet_sph_frac, dist_lum,
                             s.mc)
+                        if cfg.do_ssc and emis is not None:
+                            # seed field: the zone's own synchrotron
+                            # photons.  Production rate per bin
+                            # emis/E * dlnE [photons/s per shock-face
+                            # area], escape time dx/c over volume
+                            # surf*dx -> density / (surf * c)
+                            n_ph = (np.maximum(emis, 0.0) / e_synch
+                                    * dlne / (surf[n] * C_CGS))
+                            ssc_grid[:, n] += ic_emission(
+                                d2n_counts, p_edges, cos_bounds,
+                                alpha_ic, setup.redshift,
+                                cfg.jet_sph_frac, dist_lum, s.mc,
+                                seed=(a1_synch, n_ph))
 
     # plasma -> ISM Doppler shift for pion + synchrotron
     pion_ism = doppler_shift_to_ism(pion_grid, e_pion, prof.beta_ef,
@@ -212,6 +239,12 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
     pion_shell = sum_shells(pion_ism, ends)
     synch_shell = sum_shells(synch_ism, ends)
     ic_shell = sum_shells(ic_grid, ends)
+    ssc_shell = None
+    if cfg.do_ssc:
+        ssc_shell = sum_shells(ssc_grid, ends)
+        # SSC shares the IC outgoing grid; fold it into the IC channel
+        # of the master merge
+        ic_shell = ic_shell + np.maximum(ssc_shell, 0.0)
     e_tot, tot_shell = merge_total(pion_shell, synch_shell, ic_shell)
 
     return EmissionResult(
@@ -219,4 +252,5 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
         pion_grid=pion_grid, synch_grid=synch_grid, ic_grid=ic_grid,
         pion_shell=pion_shell, synch_shell=synch_shell,
         ic_shell=ic_shell, e_tot=e_tot, tot_shell=tot_shell,
-        tot=tot_shell.sum(axis=1))
+        tot=tot_shell.sum(axis=1),
+        ssc_grid=ssc_grid, ssc_shell=ssc_shell)

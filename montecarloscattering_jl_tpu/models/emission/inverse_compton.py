@@ -59,7 +59,9 @@ def ic_photon_energy_grid(e_min_mev: float, n_photon: int,
 def ic_emission(d2n_slice: np.ndarray, p_edges: np.ndarray,
                 cos_bounds: np.ndarray, alpha_out: np.ndarray,
                 redshift: float, jet_sph_frac: float, dist_lum: float,
-                mc: float) -> np.ndarray:
+                mc: float,
+                seed: tuple[np.ndarray, np.ndarray] | None = None
+                ) -> np.ndarray:
     """Observed IC spectrum of one zone [erg/(s cm^2)] per log energy
     bin (IC_emission_FCJ, inverse_compton.jl:191-311).
 
@@ -67,6 +69,11 @@ def ic_emission(d2n_slice: np.ndarray, p_edges: np.ndarray,
     dp) in the ISM frame; p_edges momentum bin edges; cos_bounds the
     true pitch-cosine bounds (ascending); alpha_out the outgoing grid
     in me c^2 units.
+
+    seed: optional (E_seed / me c^2, photon number density per bin
+    [1/cm^3]) replacing the CMB field — the hook the SSC pass uses
+    with the zone's own synchrotron photons (the loop the reference
+    scoped but never finished, synch_emission.jl:78-105).
     """
     # jet-opening-angle pitch cut: only electrons aimed within the cone
     # reach the observer (inverse_compton.jl:210-214)
@@ -82,7 +89,14 @@ def ic_emission(d2n_slice: np.ndarray, p_edges: np.ndarray,
         return np.full(len(alpha_out), 1.0e-99)
     n_e, gam = n_e[keep], gam[keep]
 
-    a1, n_ph = cmb_photon_field(redshift)            # [N_NU]
+    if seed is None:
+        a1, n_ph = cmb_photon_field(redshift)        # [N_NU]
+    else:
+        a1, n_ph = seed
+        use = n_ph > 1.0e-60 * max(n_ph.max(), 1e-300)
+        if not np.any(use):
+            return np.full(len(alpha_out), 1.0e-99)
+        a1, n_ph = a1[use], n_ph[use]
     r0 = QE_CGS**2 / ME_C2                           # classical radius
 
     g = gam[:, None, None]

@@ -20,8 +20,6 @@ from ...utils.constants import (
     HBAR_CGS,
     ME_CGS,
     MEV_ERG,
-    MP_C2,
-    MP_CGS,
     QE_CGS,
 )
 
@@ -91,14 +89,3 @@ def synch_emission(dn_counts: np.ndarray, p_edges: np.ndarray,
     # dP/dw * w = dP/d(lnE) (synch_emission.jl:153-166)
     emis = (dn_counts[keep, None] * omega_g[None, :] * p_fac * f).sum(axis=0)
     return np.maximum(emis, 1.0e-99)
-
-
-def ssc_equivalent_field(n0_mass: float, f_energy_upstream: float,
-                         f_px_upstream: float, gamma0: float, u0: float,
-                         u2: float) -> float:
-    """Downstream field for SSC zones beyond the grid, assuming
-    eps_B = 1e-3 (synch_emission.jl:48-55)."""
-    e0 = n0_mass * C_CGS**2
-    energy_density = ((f_energy_upstream + gamma0 * u0 * e0) / u2
-                      - f_px_upstream)
-    return math.sqrt(max(8.0 * math.pi * 1.0e-3 * energy_density, 0.0))

@@ -166,19 +166,12 @@ def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float,
 # zone populations (set_grid_volumes!, particle_counter.jl:1466-1524)
 # ---------------------------------------------------------------------------
 
-def zone_populations(x_grid_cm: np.ndarray, i_shock: int, n0_ion: float,
-                     beta0: float, gamma0: float, jet_rad_pc: float,
-                     jet_sph_frac: float, ux_sk_grid: np.ndarray,
-                     gamma_sf_grid: np.ndarray
-                     ) -> tuple[np.ndarray, np.ndarray]:
-    """(zone_pop, zone_vol) per boundary index (length nb).
-
-    zone_pop = upstream particle flux x shell surface area x dwell
-    time.  With no jet geometry configured (jet_rad = 0) the area
-    factor degenerates to unit area, giving populations per cm^2 of
-    shock face — the normalization cancels wherever zone_pop is used
-    against tallies with the same convention.
-    """
+def shell_surface_areas(x_grid_cm: np.ndarray, i_shock: int,
+                        gamma0: float, jet_rad_pc: float,
+                        jet_sph_frac: float) -> np.ndarray:
+    """Spherical-cap shell surface area per zone [cm^2] from the jet
+    geometry (set_grid_volumes!, particle_counter.jl:1476-1505); unit
+    area when no jet radius is configured."""
     nb = len(x_grid_cm)
     dx = np.diff(x_grid_cm)
     surf = np.ones(nb)
@@ -194,6 +187,26 @@ def zone_populations(x_grid_cm: np.ndarray, i_shock: int, n0_ion: float,
             rad_min = rad_max - dx[i] / gamma0
             surf[i] = math.pi * (rad_max + rad_min) ** 2 * jet_sph_frac
             rad_max = rad_min
+    return surf
+
+
+def zone_populations(x_grid_cm: np.ndarray, i_shock: int, n0_ion: float,
+                     beta0: float, gamma0: float, jet_rad_pc: float,
+                     jet_sph_frac: float, ux_sk_grid: np.ndarray,
+                     gamma_sf_grid: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """(zone_pop, zone_vol) per boundary index (length nb).
+
+    zone_pop = upstream particle flux x shell surface area x dwell
+    time.  With no jet geometry configured (jet_rad = 0) the area
+    factor degenerates to unit area, giving populations per cm^2 of
+    shock face — the normalization cancels wherever zone_pop is used
+    against tallies with the same convention.
+    """
+    nb = len(x_grid_cm)
+    dx = np.diff(x_grid_cm)
+    surf = shell_surface_areas(x_grid_cm, i_shock, gamma0, jet_rad_pc,
+                               jet_sph_frac)
 
     zone_pop = np.zeros(nb)
     zone_vol = np.zeros(nb)

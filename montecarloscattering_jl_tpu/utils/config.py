@@ -261,6 +261,7 @@ class RunConfig:
     do_retro: bool = False
     do_fast_push: bool = False
     do_photons: bool = False
+    do_ssc: bool = False
     do_multi_dndps: bool = False
     do_prof_fac_damp: bool = False
     use_custom_eps_b: bool = False
@@ -412,6 +413,12 @@ def config_from_dict(cfg: dict) -> RunConfig:
 
     out.do_rad_losses = bool(cfg.get("radiation-losses", True))
     out.do_photons = bool(cfg.get("calculate-photon-production", False))
+    # synchrotron self-Compton pass (capability extension: the
+    # reference only scoped it, synch_emission.jl:78-105)
+    out.do_ssc = bool(cfg.get("calculate-ssc", False))
+    if out.do_ssc and not out.do_photons:
+        raise ConfigError(
+            "calculate-ssc requires calculate-photon-production")
     out.jet_rad_pc = float(
         cfg["jet-shock-radius"] if out.do_photons
         else cfg.get("jet-shock-radius", 0.0))

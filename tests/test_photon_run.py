@@ -95,3 +95,51 @@ class TestPhotonSED:
             assert want in names
         tot = open(os.path.join(out, "photon_tot.dat")).readlines()
         assert len(tot) > 200
+
+
+@pytest.fixture(scope="module")
+def ssc_result(tmp_path_factory):
+    cfg = load_config("tests/data/electron_photon.toml")
+    cfg.do_ssc = True
+    cfg.n_pts_inj = 32
+    cfg.n_pts_pcut = 48
+    cfg.n_pts_pcut_hi = 48
+    out = tmp_path_factory.mktemp("ssc")
+    return run(cfg, out_dir=str(out))
+
+
+class TestSSC:
+    """Synchrotron self-Compton pass (capability extension: the
+    reference only scoped the SSC export, synch_emission.jl:78-105)."""
+
+    def test_ssc_bump_appears(self, ssc_result):
+        em = ssc_result.iterations[-1].emission
+        assert em.ssc_shell is not None
+        ssc_tot = em.ssc_shell.sum(axis=1)
+        assert ssc_tot.max() > 1e-90
+        # the SSC component peaks well above the synchrotron peak
+        # (boosted by ~gamma_e^2)
+        synch_tot = em.synch_shell.sum(axis=1)
+        e_ssc_peak = em.e_ic[np.argmax(ssc_tot)]
+        e_sy_peak = em.e_synch[np.argmax(synch_tot)]
+        assert e_ssc_peak > 10.0 * e_sy_peak
+
+    def test_ssc_energy_bounded_by_synchrotron(self, ssc_result):
+        """Energy conservation: P_SSC / P_synch = U_ph / U_B < 1 for
+        these parameters (photon energy density far below B^2/8pi).
+        Both grids share 10 bins/decade, so the dP/dlnE sums compare
+        directly as total power."""
+        em = ssc_result.iterations[-1].emission
+        p_ssc = np.where(em.ssc_shell > 1e-90, em.ssc_shell, 0.0).sum()
+        p_sy = np.where(em.synch_shell > 1e-90, em.synch_shell, 0.0).sum()
+        assert p_sy > 0
+        assert p_ssc < p_sy
+
+    def test_ssc_folded_into_total(self, ssc_result):
+        em = ssc_result.iterations[-1].emission
+        ssc_tot = em.ssc_shell.sum(axis=1)
+        j = int(np.argmax(ssc_tot))
+        # the master merge at the SSC peak includes at least the SSC
+        # contribution
+        k = np.argmin(abs(em.e_tot - em.e_ic[j]))
+        assert em.tot[k] >= 0.99 * ssc_tot[j]
