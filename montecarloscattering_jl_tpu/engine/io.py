@@ -232,6 +232,8 @@ def write_photons(result, out_dir: str) -> None:
     grid_file("pion_decay", em.e_pion, em.pion_grid)
     grid_file("synch", em.e_synch, em.synch_grid)
     grid_file("IC", em.e_ic, em.ic_grid)
+    if em.ssc_grid is not None:
+        grid_file("SSC", em.e_ic, em.ssc_grid)
 
     def summed_file(name, e_gamma, shells):
         path = os.path.join(out_dir, f"photon_{name}_summed.dat")
@@ -250,6 +252,8 @@ def write_photons(result, out_dir: str) -> None:
     summed_file("pion", em.e_pion, em.pion_shell)
     summed_file("synch", em.e_synch, em.synch_shell)
     summed_file("IC", em.e_ic, em.ic_shell)
+    if em.ssc_shell is not None:
+        summed_file("SSC", em.e_ic, em.ssc_shell)
     summed_file("tot", em.e_tot, em.tot_shell)
 
     with open(os.path.join(out_dir, "photon_tot.dat"), "w") as f:

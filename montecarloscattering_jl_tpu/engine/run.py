@@ -97,6 +97,11 @@ class TransportEngine:
         cfg = self.setup.cfg
         self.batch_size = _round_up(
             max(cfg.n_pts_inj + 64, cfg.n_pts_pcut, cfg.n_pts_pcut_hi))
+        if self.batch_size > 8192:
+            # 4096-multiples keep every halved compaction window
+            # 128-lane aligned (4096 = 2^12), so the auto ladder always
+            # engages; padding cost is < 6% at flagship sizes
+            self.batch_size = _round_up(self.batch_size, 4096)
         self.n_tcut_slots = max(len(cfg.tcuts), 1)
         self.base_key = jax.random.key(cfg.random_seed)
         self._sharded_seg = {}

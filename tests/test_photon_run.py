@@ -135,6 +135,13 @@ class TestSSC:
         assert p_sy > 0
         assert p_ssc < p_sy
 
+    def test_ssc_files_written(self, ssc_result, tmp_path):
+        from montecarloscattering_jl_tpu.engine.io import write_photons
+        write_photons(ssc_result, str(tmp_path))
+        names = os.listdir(tmp_path)
+        assert "photon_SSC_grid.dat" in names
+        assert "photon_SSC_summed.dat" in names
+
     def test_ssc_folded_into_total(self, ssc_result):
         em = ssc_result.iterations[-1].emission
         ssc_tot = em.ssc_shell.sum(axis=1)
