@@ -30,12 +30,16 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--per-pcut", type=int, default=8192)
 ap.add_argument("--ng", type=float, default=8000.0,
                 help="steps per gyroperiod (pitch-diffusion: >= ~5e3)")
-ap.add_argument("--cap", type=int, default=400_000,
+ap.add_argument("--cap", type=int, default=200_000,
                 help="helix-step cap per segment")
 ap.add_argument("--tol", type=float, default=0.25,
                 help="accepted |s_fit - s_KW|")
 ap.add_argument("--f64", action="store_true")
 args = ap.parse_args()
+# NOTE: host-split segments (fused=False below) keep each device
+# program short — the TPU runtime kills long-running single programs
+# ("kernel fault" / worker restart; see scripts/repro_fused_128k.py),
+# and a fused 8-pcut ladder at a 2e5-step cap is exactly that.
 
 # must land before the package reads it
 os.environ["MCS_MAX_HELIX_STEPS"] = str(args.cap)
@@ -82,7 +86,8 @@ def main() -> int:
           f"s_KW={s_kw:.3f} (dN/dp slope {2 - s_kw:.3f})", flush=True)
 
     eng = TransportEngine(
-        setup, p_dtype=jnp.float64 if args.f64 else jnp.float32)
+        setup, p_dtype=jnp.float64 if args.f64 else jnp.float32,
+        fused=False, compact_levels=4)
     it = eng.new_iteration_tallies()
     t0 = time.perf_counter()
     res = eng.run_ion(0, 0, setup.profile, it)
