@@ -152,7 +152,7 @@ class TransportEngine:
         if recv_pool is not None:
             prefix[1:] = np.cumsum(recv_pool)
         return stp.SegmentGrids(
-            x_grid=jnp.asarray(self.setup.x_grid_cm, jnp.float64),
+            x_grid=jnp.asarray(self.setup.x_grid_cm, stt.X_DTYPE),
             ux=f(prof.ux_sk), uz=f(prof.uz_sk), utot=f(prof.utot),
             gamma_sf=f(prof.gamma_sf), gamma_ef=f(prof.gamma_ef),
             beta_ef=f(prof.beta_ef), btot=f(prof.btot),
@@ -173,7 +173,7 @@ class TransportEngine:
         # momentum/field-domain scalars carry the state dtype so the
         # f32 path stays f32; position/time scalars stay float64
         j = lambda v: jnp.asarray(v, self.p_dtype)
-        j64 = lambda v: jnp.asarray(v, jnp.float64)
+        j64 = lambda v: jnp.asarray(v, stt.X_DTYPE)
         return stp.SegmentScalars(
             aa=j(s.aa), abs_charge=j(abs(s.charge)), m=j(s.mass),
             pcut=j(pcut), pcut_prev=j(pcut_prev),
@@ -413,7 +413,7 @@ class TransportEngine:
                 xn_per=split.xn_per, p_dtype=self.p_dtype)
             # preserve per-lane PRP from the saved state
             state = state._replace(
-                prp_x=jnp.asarray(split.prp_x, jnp.float64))
+                prp_x=jnp.asarray(split.prp_x, stt.X_DTYPE))
 
         self.n_pushes_total += pushes
         self.n_trajectories_total += trajectories

@@ -14,11 +14,19 @@ SURVEY.md section 7).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Position/PRP/time dtype.  float64 by contract (the grid spans 14
+# decades with 1e30 sentinels; x += dx accumulates ~1e4 fine steps) —
+# f64 is EMULATED on TPU (no native ALUs), so this knob exists to
+# measure its cost and for short-grid runs that tolerate f32.
+X_DTYPE = (jnp.float32 if os.environ.get("MCS_X_DTYPE", "f64") == "f32"
+           else jnp.float64)
 
 # status codes
 ACTIVE = 0
@@ -196,7 +204,7 @@ def init_state(weight, ptot_pf, pb_pf, x_cm, igrid, ux_of_igrid,
     return ParticleState(
         weight=weight, pb=pb, pperp=pperp,
         phi=jnp.asarray(phi, p_dtype),
-        x=jnp.asarray(x_cm, jnp.float64),
+        x=jnp.asarray(x_cm, X_DTYPE),
         igrid=jnp.asarray(igrid, jnp.int32),
         ux_prev=jnp.asarray(ux_of_igrid, p_dtype),
         downstream=(jnp.zeros(b, bool) if downstream is None
@@ -204,9 +212,9 @@ def init_state(weight, ptot_pf, pb_pf, x_cm, igrid, ux_of_igrid,
         inj=jnp.zeros(b, bool) if inj is None else jnp.asarray(inj, bool),
         xn_per=(jnp.full(b, xn_per_fine, p_dtype) if xn_per is None
                 else jnp.asarray(xn_per, p_dtype)),
-        prp_x=jnp.asarray(prp_x0, jnp.float64) * jnp.ones(b),
-        acctime=(jnp.zeros(b, jnp.float64) if acctime is None
-                 else jnp.asarray(acctime, jnp.float64)),
+        prp_x=jnp.asarray(prp_x0, X_DTYPE) * jnp.ones(b, X_DTYPE),
+        acctime=(jnp.zeros(b, X_DTYPE) if acctime is None
+                 else jnp.asarray(acctime, X_DTYPE)),
         tcut=(jnp.zeros(b, jnp.int32) if tcut is None
               else jnp.asarray(tcut, jnp.int32)),
         status=jnp.where(pad, FINISHED, ACTIVE).astype(jnp.int32),

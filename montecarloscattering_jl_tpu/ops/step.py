@@ -336,7 +336,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
     # (particle_loop.jl:347-381); uses the previous step's dt
     adding_time = do_block3 & state.downstream
     acct = state.acctime + jnp.where(
-        adding_time, (state.t_step * gef).astype(jnp.float64), 0.0)
+        adding_time, (state.t_step * gef).astype(st.X_DTYPE), 0.0)
     tcut_idx = state.tcut
     if ss.do_tcuts:
         n_slots = grids.tcuts.shape[0]
@@ -392,7 +392,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
                         - r_g_perp * bsin
                         * (jnp.cos(phi_try) - jnp.cos(phi_old))
                         + ux * t_step)
-        x_try = x_old + dx.astype(jnp.float64)
+        x_try = x_old + dx.astype(st.X_DTYPE)
         # reflection at the shock when DSA is off or the injection
         # test fails (no_DSA_loop, particle_loop.jl:510-571); inj_frac
         # is a dynamic scalar so the branch is always compiled and the
@@ -423,7 +423,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
                     - r_g_perp * bsin
                     * (jnp.cos(phi_try) - jnp.cos(phi_old))
                     + ux * t_step)
-    x_new = jnp.where(done_move, x_new, x_old + dx.astype(jnp.float64))
+    x_new = jnp.where(done_move, x_new, x_old + dx.astype(st.X_DTYPE))
     phi_fin = jnp.where(done_move, phi_fin, phi_try)
     pb = jnp.where(moving, pb_m, pb)
     phi = jnp.where(moving, phi_fin, phi)
@@ -433,7 +433,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
     first_dw = moving & (x_old < 0.0) & (x_new >= 0.0)
     downstream = state.downstream | first_dw
     l_diff0 = (ss.eta_mfp / 3.0 * r_g_tot * ptot
-               / (m * gamma_pf * sc.u2)).astype(jnp.float64)
+               / (m * gamma_pf * sc.u2)).astype(st.X_DTYPE)
     prp_x = jnp.where(first_dw, jnp.maximum(prp_x, l_diff0), prp_x)
 
     # injection flag: back upstream after having been downstream
@@ -818,7 +818,7 @@ def _downstream_logic(moving, status, reason, x_old, x_new, prp_x,
             (ptot * c * gyro_denom) * ptot / (m * gamma_pf * sc.u2))
     else:
         v_fac = (ptot * c * gyro_denom) * ptot / (m * gamma_pf * sc.u2)
-    l_diff = (ss.eta_mfp / 3.0 * v_fac).astype(jnp.float64)
+    l_diff = (ss.eta_mfp / 3.0 * v_fac).astype(st.X_DTYPE)
 
     # hard downstream FEB
     esc_feb_dw = moving & (sc.feb_dw > 0.0) & (x_new > sc.feb_dw)
@@ -839,7 +839,7 @@ def _downstream_logic(moving, status, reason, x_old, x_new, prp_x,
                             ).astype(p_dtype)
     r_g2 = ptot * c * gyro_tmp / (sc.abs_charge * sc.bmag2)
     l_diff2 = (ss.eta_mfp / 3.0 * r_g2 * ptot
-               / (m * gamma_pf * sc.u2)).astype(jnp.float64)
+               / (m * gamma_pf * sc.u2)).astype(st.X_DTYPE)
     prp_x = jnp.where(just_crossed_end, x_new + 3.0 * l_diff2, prp_x)
 
     # PRP crossing: the Jones & Ellison (1991) return probability
@@ -887,7 +887,7 @@ def _downstream_logic(moving, status, reason, x_old, x_new, prp_x,
                  & (jnp.mod(state.nsteps, 1000) == 0))
         r_g = ptot * c * gyro_denom
         l_d = (ss.eta_mfp / 3.0 * r_g * ptot
-               / (m * gamma_pf * sc.u2)).astype(jnp.float64)
+               / (m * gamma_pf * sc.u2)).astype(st.X_DTYPE)
         far = x_new > 2.0e3 * l_d
         shrink = jnp.where(
             far, 0.8 * x_new,
@@ -939,9 +939,9 @@ def _retro_step(in_retro, status, reason, x, prp_x, pb, pperp, phi,
         dx = gsf * (x_move * bcos
                     - r_g * bsin * (jnp.cos(phi_new) - jnp.cos(phi_old))
                     + u_back * t_step)
-    x_try = x + dx.astype(jnp.float64)
+    x_try = x + dx.astype(st.X_DTYPE)
 
-    acct_new = acct + (t_step * gef).astype(jnp.float64)
+    acct_new = acct + (t_step * gef).astype(st.X_DTYPE)
 
     # tcut tracking continues during the replay (prob_return.jl:297-304)
     if ss.do_tcuts:
