@@ -189,9 +189,13 @@ class TransportEngine:
         )
 
     def step_static(self, i_ion: int) -> stp.StepStatic:
+        from ..ops.pallas_hist import hist_band_for
         cfg = self.setup.cfg
         b = self.setup.bins
+        n_cells = (b.n_mom + 1) * 2 * (b.n_theta + 1)
         return stp.StepStatic(
+            hist_band=hist_band_for(n_cells, self.setup.nb + 1,
+                                    self.psd_dtype),
             eta_mfp=cfg.eta_mfp, xn_per_coarse=cfg.xn_per_coarse,
             xn_per_fine=cfg.xn_per_fine, dont_scatter=cfg.dont_scatter,
             dont_dsa=cfg.dont_dsa, do_rad_losses=cfg.do_rad_losses,

@@ -86,13 +86,17 @@ class Tallies(NamedTuple):
       * flux_diff [4, nb+1]: (pxx, pxz, energy, n_crossings) — all four
         share crossing indices and accumulate via ONE one-hot matmul on
         the MXU per step.
-      * psd_diff [2, n_mom+1, n_theta+1, nb+1]: (CR, thermal) histograms
-        share one flattened-index scatter (lanes are exclusively one or
-        the other).
+      * psd_diff [(n_mom+1)*2*(n_theta+1), nb+1]: the CR and thermal
+        histograms share one flat cell axis ordered (ip, kind, jt)
+        with kind 0 = injected (CR), 1 = thermal (lanes are exclusively
+        one or the other).  ip-major ordering keeps one flush window's
+        cells in a narrow contiguous band (a pcut segment spans a
+        decade or two of momentum), which is what lets the Pallas MXU
+        histogram (ops/pallas_hist.py) replace the scatter on TPU.
     """
 
     flux_diff: jnp.ndarray      # [4, nb+1] float64
-    psd_diff: jnp.ndarray       # [2, n_mom+1, n_theta+1, nb+1]
+    psd_diff: jnp.ndarray       # [(n_mom+1)*2*(n_theta+1), nb+1]
     pool_diff: jnp.ndarray      # [nb+1] donated ion energy [erg]
     # chunked tally record buffer: every TPU scatter/dynamic-update op
     # carries a flat ~0.1-1 ms overhead, so per-step crossing records
@@ -120,7 +124,7 @@ def make_tallies(nb: int, n_mom: int, n_theta: int, n_xspec: int,
     z = jnp.zeros
     return Tallies(
         flux_diff=z((4, nb + 1), f64),
-        psd_diff=z((2, n_mom + 1, n_theta + 1, nb + 1), psd_dtype),
+        psd_diff=z(((n_mom + 1) * 2 * (n_theta + 1), nb + 1), psd_dtype),
         pool_diff=z(nb + 1, f64),
         rec=z((chunk, 8, batch), p_dtype),
         step_phase=jnp.zeros((), jnp.int32),
@@ -158,7 +162,12 @@ def finalize_tallies(t: Tallies) -> FinalTallies:
     totals (the deferred equivalent of F_stream!'s per-boundary loop,
     all_flux.jl:219-257)."""
     flux = jnp.cumsum(t.flux_diff, axis=-1)[:, :-1]
-    psd = jnp.cumsum(t.psd_diff, axis=-1)[..., :-1]
+    # un-flatten the (ip, kind, jt) cell axis; every dim is recoverable
+    # from sibling tally shapes, so the signature stays dimension-free
+    nmp1 = t.spectra_sf.shape[0]
+    ntp1 = t.psd_diff.shape[0] // (2 * nmp1)
+    psd4 = t.psd_diff.reshape(nmp1, 2, ntp1, -1).transpose(1, 0, 2, 3)
+    psd = jnp.cumsum(psd4, axis=-1)[..., :-1]
     return FinalTallies(
         pxx_flux=flux[0],
         pxz_flux=flux[1],

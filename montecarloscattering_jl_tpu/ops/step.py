@@ -153,6 +153,9 @@ class StepStatic:
     # (its only observable is the pxz diagnostic, which the parallel
     # smoother hardcodes to zero, smoothers.jl:183)
     parallel: bool = True
+    # static band width for the Pallas MXU histogram (0 = use the XLA
+    # scatter); set via pallas_hist.hist_band_for on TPU backends
+    hist_band: int = 0
 
 
 def _mod2pi(x):
@@ -496,12 +499,11 @@ def helix_step(state: ParticleState, tallies: Tallies,
     jt_sk = psd_bin_angle(sk.px_sk, sk.ptot_sk, ss.cos_fine, ss.dcos,
                           ss.theta_min, ss.bins_per_dec_theta, ss.n_theta)
     psd_w = (weight * abs_inv_vx * crossed).astype(tallies.psd_diff.dtype)
-    # CR and thermal histograms share one flattened cell base; leading
-    # index 0 = injected (CR), 1 = thermal
+    # CR and thermal histograms share one flat (ip, kind, jt) cell
+    # axis; kind 0 = injected (CR), 1 = thermal.  ip-major order keeps
+    # a flush window's cells in a narrow band (ops/pallas_hist.py).
     kind = (~inj).astype(jnp.int32)
-    nzc = ss.nb + 1
-    flat_base = ((kind * (ss.n_mom + 1) + ip_sk) * (ss.n_theta + 1)
-                 + jt_sk) * nzc
+    cell = (ip_sk * 2 + kind) * (ss.n_theta + 1) + jt_sk
 
     # record the step's crossings in ONE packed dynamic write; flush
     # every `chunk` steps (chunk = the buffer's static leading extent).
@@ -514,7 +516,7 @@ def helix_step(state: ParticleState, tallies: Tallies,
         psd_w.astype(rd)[None, :],
         lo_c.astype(rd)[None, :],
         hi_c.astype(rd)[None, :],
-        flat_base.astype(rd)[None, :],
+        cell.astype(rd)[None, :],
     ])                                                     # [8, B]
     tallies = tallies._replace(
         rec=tallies.rec.at[phase].set(rec),
@@ -654,12 +656,13 @@ def helix_step(state: ParticleState, tallies: Tallies,
 
 def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
     """Flush the chunked crossing records into the tally arrays: one
-    signed one-hot MXU contraction for the four flux channels and one
-    flattened scatter pair for the CR/thermal histograms, per chunk of
-    steps instead of per step."""
+    signed one-hot MXU contraction for the four flux channels and the
+    (p, theta, zone) histogram update — the Pallas band-matmul kernel
+    on TPU (ops/pallas_hist.py), or the flat scatter pair elsewhere —
+    per chunk of steps instead of per step."""
     lo = t.rec[:, 5, :].reshape(-1).astype(jnp.int32)
     hi = t.rec[:, 6, :].reshape(-1).astype(jnp.int32)
-    base = t.rec[:, 7, :].reshape(-1).astype(jnp.int32)
+    cell = t.rec[:, 7, :].reshape(-1).astype(jnp.int32)
     dtype = t.rec.dtype
     range_oh = (jax.nn.one_hot(lo, ss.nb + 1, dtype=dtype)
                 - jax.nn.one_hot(hi + 1, ss.nb + 1, dtype=dtype))
@@ -669,13 +672,20 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
     flux_diff = t.flux_diff + delta.astype(jnp.float64)
 
     w = t.rec[:, 4, :].reshape(-1).astype(t.psd_diff.dtype)
-    psd_flat = t.psd_diff.reshape(-1)
-    psd_flat = psd_flat.at[base + lo].add(w)
-    psd_flat = psd_flat.at[base + hi + 1].add(-w)
+    nzc = ss.nb + 1
+    if ss.hist_band > 0:
+        from .pallas_hist import psd_accumulate
+        psd = psd_accumulate(t.psd_diff, cell, lo, hi, w, ss.hist_band)
+    else:
+        psd_flat = t.psd_diff.reshape(-1)
+        base = cell * nzc
+        psd_flat = psd_flat.at[base + lo].add(w)
+        psd_flat = psd_flat.at[base + hi + 1].add(-w)
+        psd = psd_flat.reshape(t.psd_diff.shape)
 
     return t._replace(
         flux_diff=flux_diff,
-        psd_diff=psd_flat.reshape(t.psd_diff.shape),
+        psd_diff=psd,
         rec=jnp.zeros_like(t.rec),
     )
 
