@@ -19,13 +19,27 @@ profile).  This kernel replaces the scatter with dense MXU work:
     B[T, z] = w·(1[z=lo] − 1[z=hi+1]) — the difference-array form of
     the crossed range (ops/state.py) — then accumulates
     A^T @ B on the MXU into a VMEM-resident [band, zones] f32 block.
-  * bf16 values are COMPENSATED: w is split hi+lo into two bf16
-    halves (both exactly representable), B carries both in stacked
-    columns, and the halves are summed once at the end — over a full
-    256-step transport window the tally lands as close to the f64
-    ground truth as the f32 scatter does (max |Δ|/max 3.9e-6 vs
-    5.0e-7, and it is the MORE accurate branch on significant cells;
-    scripts/probe_hist_accuracy.py), far below MC statistical noise.
+  * bf16 values lose 16 mantissa bits, handled by one of two modes
+    (MCS_PSD_ROUND):
+      - "sr" (default): STOCHASTIC ROUNDING — each record's w is
+        rounded to bf16 by adding 16 uniform dither bits to its f32
+        bit pattern and truncating (the canonical unbiased-SR trick;
+        E[w_sr] = w), with the dither hashed in-kernel from the
+        global record index + flush counter (a murmur3-style
+        finalizer — no pltpu PRNG, so the same code runs in
+        interpret mode).  The SAME rounded w feeds the +lo and
+        −(hi+1) difference-array entries, so a record's range stays
+        exactly cancelled beyond hi and the zone cumsum acquires no
+        leaked noise.  For an MC tally SR is statistically exact:
+        the rounding adds unbiased noise ~2⁻⁹·w per record, orders
+        below the O(1/√N) MC noise of any cell.
+      - "comp": COMPENSATED split — w is split hi+lo into two bf16
+        halves (both exactly representable), B carries both in
+        stacked columns (2× the MXU work), and the halves are summed
+        once at the end.  Deterministic; used for A/B validation.
+    Over a full 256-step transport window both modes land as close
+    to the f64 ground truth as the f32 scatter does
+    (scripts/probe_hist_accuracy.py), far below MC noise.
   * The band offset is dynamic (min over the window's real cells); a
     window whose span exceeds the static band falls back to the XLA
     scatter under lax.cond, so correctness never depends on the band
@@ -58,6 +72,39 @@ _ROWS_UNIT = _SUB * _TILE
 # (~1.2k) with margin at bench dims; override for exotic binnings.
 DEFAULT_BAND = int(os.environ.get("MCS_PSD_BAND", 1536))
 
+# Rounding mode for the bf16 value matrix: "sr" stochastic rounding
+# (unbiased, half the MXU work) or "comp" compensated hi+lo split
+# (deterministic, 2x columns).  See the module docstring.
+ROUND_MODE = os.environ.get("MCS_PSD_ROUND", "sr")
+
+
+def _dither16(idx, seed):
+    """16 uniform dither bits per record from a murmur3-style integer
+    finalizer of (global record index, seed).  Pure i32/u32 bit ops —
+    identical results in Mosaic and interpret mode."""
+    # xor with the golden-ratio-multiplied seed (NOT `idx + seed`,
+    # which only shifts the stream so block sums barely change)
+    h = (idx.astype(jnp.uint32)
+         ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h & jnp.uint32(0xFFFF)
+
+
+def _sr_bf16(w, idx, seed):
+    """Stochastically round f32 w to the bf16 grid: add 16 dither bits
+    to the bit pattern and truncate.  Unbiased (E[result] = w within a
+    binade); w == 0 stays exactly 0, so padding rows stay no-ops.
+    Returned as f32 (low mantissa bits zero, so any later bf16 cast is
+    exact) — Mosaic only supports minor-dim insertion on 32-bit types,
+    so the caller broadcasts in f32 and casts last."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    u = (u + _dither16(idx, seed)) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
 
 def hist_band_for(n_cells: int, nzc: int, psd_dtype) -> int:
     """The static band to compile for, or 0 when the Pallas path does
@@ -73,10 +120,11 @@ def hist_band_for(n_cells: int, nzc: int, psd_dtype) -> int:
     return min(DEFAULT_BAND, n_cells_pad)
 
 
-def _band_kernel(blo_ref, cell_ref, lo_ref, hi_ref, w_ref, out_ref, *,
-                 band):
+def _band_kernel(scalars_ref, cell_ref, lo_ref, hi_ref, w_ref, out_ref,
+                 *, band, mode):
     """One grid program: _SUB sub-tiles of _TILE records, accumulated
-    into the [band, 2*ZPAD] VMEM block (compensated halves stacked)."""
+    into the [band, ZPAD] ("sr") or [band, 2*ZPAD] ("comp", halves
+    stacked) VMEM block.  scalars_ref = [band offset, dither seed]."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -85,33 +133,46 @@ def _band_kernel(blo_ref, cell_ref, lo_ref, hi_ref, w_ref, out_ref, *,
 
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, band), 1)
     z_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, ZPAD), 1)
+    if mode == "sr":
+        # stochastically round the whole program's w block once; the
+        # rounded value feeds BOTH difference-array entries
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _TILE), 0)
+               * _TILE
+               + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _TILE), 1)
+               + i * _ROWS_UNIT)
+        w_sr = _sr_bf16(w_ref[:], idx, scalars_ref[1])
     acc = jnp.zeros_like(out_ref)
     for k in range(_SUB):
-        local = cell_ref[k, :] - blo_ref[0]
+        local = cell_ref[k, :] - scalars_ref[0]
         a = (local[:, None] == c_iota).astype(jnp.bfloat16)
         lo = lo_ref[k, :]
         hi = hi_ref[k, :]
         pat = ((z_iota == lo[:, None]).astype(jnp.float32)
                - (z_iota == hi[:, None] + 1).astype(jnp.float32))
-        wv = w_ref[k, :][:, None]
-        # compensated bf16 split.  NOT wv - bf16(wv).astype(f32): XLA's
-        # allow-excess-precision rule elides the f32->bf16->f32
-        # round-trip and the correction folds to zero.  Masking the low
-        # mantissa bits is an exact truncation split XLA cannot elide.
-        w_hi_f32 = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(wv, jnp.uint32)
-            & jnp.uint32(0xFFFF0000), jnp.float32)
-        w_hi = w_hi_f32.astype(jnp.bfloat16)        # exact: low bits are 0
-        w_lo = (wv - w_hi_f32).astype(jnp.bfloat16)
         patb = pat.astype(jnp.bfloat16)
-        b = jnp.concatenate([w_hi * patb, w_lo * patb], axis=1)
+        if mode == "sr":
+            b = w_sr[k, :][:, None].astype(jnp.bfloat16) * patb
+        else:
+            wv = w_ref[k, :][:, None]
+            # compensated bf16 split.  NOT wv - bf16(wv).astype(f32):
+            # XLA's allow-excess-precision rule elides the
+            # f32->bf16->f32 round-trip and the correction folds to
+            # zero.  Masking the low mantissa bits is an exact
+            # truncation split XLA cannot elide.
+            w_hi_f32 = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(wv, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), jnp.float32)
+            w_hi = w_hi_f32.astype(jnp.bfloat16)   # exact: low bits are 0
+            w_lo = (wv - w_hi_f32).astype(jnp.bfloat16)
+            b = jnp.concatenate([w_hi * patb, w_lo * patb], axis=1)
         acc = acc + jax.lax.dot_general(
             a, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     out_ref[:] += acc
 
 
-def _band_delta(cell, lo, hi, w, blo, band, interpret=False):
+def _band_delta(cell, lo, hi, w, blo, band, seed, mode,
+                interpret=False):
     """Dense [band, ZPAD] f32 histogram delta for cells in
     [blo, blo+band); out-of-band rows contribute nothing."""
     r = cell.shape[0]
@@ -124,6 +185,7 @@ def _band_delta(cell, lo, hi, w, blo, band, interpret=False):
         w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
     nt = (r + pad) // _ROWS_UNIT
     rows = nt * _SUB
+    ncol = ZPAD if mode == "sr" else 2 * ZPAD
     # index maps must yield i32 even under jax_enable_x64 (a bare 0
     # traces as i64, which Mosaic refuses to legalize); `i - i` is a
     # zero of the grid index dtype without capturing a tracer
@@ -132,22 +194,27 @@ def _band_delta(cell, lo, hi, w, blo, band, interpret=False):
         grid=(nt,),
         in_specs=[pl.BlockSpec((_SUB, _TILE), lambda i, s: (i, i - i),
                                memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec((band, 2 * ZPAD),
+        out_specs=pl.BlockSpec((band, ncol),
                                lambda i, s: (i - i, i - i),
                                memory_space=pltpu.VMEM),
     )
+    scalars = jnp.stack([blo.astype(jnp.int32),
+                         seed.astype(jnp.int32)])
     out = pl.pallas_call(
-        functools.partial(_band_kernel, band=band),
-        out_shape=jax.ShapeDtypeStruct((band, 2 * ZPAD), jnp.float32),
+        functools.partial(_band_kernel, band=band, mode=mode),
+        out_shape=jax.ShapeDtypeStruct((band, ncol), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(blo[None].astype(jnp.int32), cell.reshape(rows, _TILE),
+    )(scalars, cell.reshape(rows, _TILE),
       lo.reshape(rows, _TILE), hi.reshape(rows, _TILE),
       w.reshape(rows, _TILE))
+    if mode == "sr":
+        return out
     return out[:, :ZPAD] + out[:, ZPAD:]
 
 
-def psd_accumulate(psd2d, cell, lo, hi, w, band, interpret=False):
+def psd_accumulate(psd2d, cell, lo, hi, w, band, seed=None,
+                   mode=None, interpret=False):
     """Add the flush window's crossing records into the 2-D histogram
     ``psd2d`` [n_cells, nzc] (rows are flat (ip, kind, jt) cells;
     columns are zone-boundary indices of the difference array).
@@ -155,8 +222,14 @@ def psd_accumulate(psd2d, cell, lo, hi, w, band, interpret=False):
     Uses the Pallas band kernel when the window's real cells fit a
     ``band``-wide window, else the exact XLA scatter — chosen at
     runtime under lax.cond so a pathological window costs speed, not
-    correctness.
+    correctness.  ``seed`` salts the "sr" mode's dither stream (the
+    caller passes the flush counter so successive windows dither
+    independently).
     """
+    if mode is None:
+        mode = ROUND_MODE
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
     n_cells, nzc = psd2d.shape
     n_cells_pad = -(-max(n_cells, band) // 128) * 128
     real = w != 0
@@ -167,7 +240,7 @@ def psd_accumulate(psd2d, cell, lo, hi, w, band, interpret=False):
     fits = (bhi - blo_c) < band
 
     def pallas_branch(p):
-        delta = _band_delta(cell, lo, hi, w, blo_c, band,
+        delta = _band_delta(cell, lo, hi, w, blo_c, band, seed, mode,
                             interpret=interpret)
         pp = jnp.pad(p, ((0, n_cells_pad - n_cells), (0, ZPAD - nzc)))
         zero = jnp.zeros((), blo_c.dtype)

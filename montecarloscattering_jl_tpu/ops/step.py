@@ -675,7 +675,8 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
     nzc = ss.nb + 1
     if ss.hist_band > 0:
         from .pallas_hist import psd_accumulate
-        psd = psd_accumulate(t.psd_diff, cell, lo, hi, w, ss.hist_band)
+        psd = psd_accumulate(t.psd_diff, cell, lo, hi, w, ss.hist_band,
+                             seed=t.step_phase)
     else:
         psd_flat = t.psd_diff.reshape(-1)
         base = cell * nzc

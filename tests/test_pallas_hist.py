@@ -41,84 +41,113 @@ def _records(r, rng, cell_lo, cell_hi):
     return cell, lo, hi, w
 
 
+def _tol(mode):
+    # "comp" is deterministic to ~bf16^2; "sr" adds unbiased dither
+    # noise ~2e-3*w per record, a handful of records per cell here
+    return 2e-5 if mode == "comp" else 2e-2
+
+
+@pytest.mark.parametrize("mode", ["sr", "comp"])
 class TestPsdAccumulate:
-    def _run(self, cell, lo, hi, w, psd0=None):
+    def _run(self, cell, lo, hi, w, mode, psd0=None, seed=0):
         psd = (jnp.zeros((N_CELLS, NZC), jnp.float32)
                if psd0 is None else jnp.asarray(psd0, jnp.float32))
         return ph.psd_accumulate(
             psd, jnp.asarray(cell), jnp.asarray(lo), jnp.asarray(hi),
-            jnp.asarray(w), BAND, interpret=True)
+            jnp.asarray(w), BAND, seed=jnp.int32(seed), mode=mode,
+            interpret=True)
 
-    def test_band_branch_matches_reference(self):
+    def test_band_branch_matches_reference(self, mode):
         rng = np.random.default_rng(0)
         # cells inside one BAND-wide window -> Pallas branch
         cell, lo, hi, w = _records(4096, rng, 30, 30 + BAND - 1)
-        got = np.asarray(self._run(cell, lo, hi, w), np.float64)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
         want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
         scale = np.abs(want).max()
         assert scale > 0
-        np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+        np.testing.assert_allclose(got, want, atol=_tol(mode) * scale)
         # rows outside the band window stayed exactly zero
         assert got[:30].sum() == 0.0
 
-    def test_accumulates_into_existing(self):
+    def test_accumulates_into_existing(self, mode):
         rng = np.random.default_rng(1)
         cell, lo, hi, w = _records(4096, rng, 10, 90)
         psd0 = rng.random((N_CELLS, NZC)).astype(np.float32)
-        got = np.asarray(self._run(cell, lo, hi, w, psd0), np.float64)
+        got = np.asarray(self._run(cell, lo, hi, w, mode, psd0),
+                         np.float64)
         want = _numpy_ref(psd0, cell, lo, hi, w)
         np.testing.assert_allclose(got, want,
-                                   atol=2e-5 * np.abs(want).max())
+                                   atol=_tol(mode) * np.abs(want).max())
 
-    def test_row_padding(self):
+    def test_row_padding(self, mode):
         # R not a multiple of the kernel's row unit -> padded internally
         rng = np.random.default_rng(2)
         cell, lo, hi, w = _records(4096 + 257, rng, 0, BAND - 1)
-        got = np.asarray(self._run(cell, lo, hi, w), np.float64)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
         want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
         np.testing.assert_allclose(got, want,
-                                   atol=2e-5 * np.abs(want).max())
+                                   atol=_tol(mode) * np.abs(want).max())
 
-    def test_overflow_falls_back_to_exact_scatter(self):
+    def test_overflow_falls_back_to_exact_scatter(self, mode):
         rng = np.random.default_rng(3)
         # span the full cell space: wider than BAND -> scatter branch
         cell, lo, hi, w = _records(4096, rng, 0, N_CELLS)
         assert cell.max() - cell.min() >= BAND
-        got = np.asarray(self._run(cell, lo, hi, w), np.float64)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
         want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
-        # scatter branch is exact f32: tight tolerance
+        # scatter branch is exact f32: tight tolerance in both modes
         np.testing.assert_allclose(got, want, rtol=2e-6,
                                    atol=1e-6 * np.abs(want).max())
 
-    def test_compensation_not_elided(self):
-        # w = 1.001 is NOT bf16-representable: a single-bf16 tally
-        # yields exactly 4096.0 here.  Guards against XLA's
-        # allow-excess-precision rule folding the correction to zero
-        # (it elides f32->bf16->f32 round-trips; the kernel must use
-        # the bit-mask split).
+    def test_bf16_rounding_handled(self, mode):
+        # w = 1.001 is NOT bf16-representable: a naive single-bf16
+        # tally yields exactly 4096.0 here (1.001 truncates AND
+        # rounds-to-nearest to 1.0).  "comp" must recover the exact
+        # sum via the bit-mask split (guards against XLA's
+        # allow-excess-precision rule folding the correction to
+        # zero); "sr" must land within dither noise of the exact sum
+        # (std = ulp*sqrt(r*p*(1-p)) ~ 0.17, use 6 sigma), proving
+        # the rounding is unbiased rather than truncating.
         r = 4096
         cell = np.full(r, 5, np.int32)
         z3 = np.full(r, 3, np.int32)
         w = np.full(r, 1.001, np.float32)
-        got = float(np.asarray(self._run(cell, z3, z3, w))[5, 3])
-        assert abs(got - r * 1.001) < 0.05, got
+        got = float(np.asarray(self._run(cell, z3, z3, w, mode))[5, 3])
+        tol = 0.05 if mode == "comp" else 1.0
+        assert abs(got - r * 1.001) < tol, got
 
-    def test_all_padding_window(self):
+    def test_all_padding_window(self, mode):
         cell = np.zeros(4096, np.int32)
         z = np.zeros(4096, np.int32)
         w = np.zeros(4096, np.float32)
-        got = np.asarray(self._run(cell, z, z, w))
+        got = np.asarray(self._run(cell, z, z, w, mode))
         assert (got == 0).all()
 
-    def test_zero_weight_rows_with_wild_cells_do_not_leak(self):
+    def test_zero_weight_rows_with_wild_cells_do_not_leak(self, mode):
         rng = np.random.default_rng(4)
         cell, lo, hi, w = _records(4096, rng, 44, N_CELLS)
         # poison non-crossing rows with out-of-window cells
         cell = np.where(w == 0, np.int32(0), cell)
-        got = np.asarray(self._run(cell, lo, hi, w), np.float64)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
         want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
         np.testing.assert_allclose(got, want,
-                                   atol=2e-5 * np.abs(want).max())
+                                   atol=_tol(mode) * np.abs(want).max())
+
+    def test_sr_seed_decorrelates_but_preserves_mean(self, mode):
+        if mode != "sr":
+            pytest.skip("sr-only property")
+        r = 4096
+        cell = np.full(r, 5, np.int32)
+        z3 = np.full(r, 3, np.int32)
+        w = np.full(r, 1.001, np.float32)
+        vals = [float(np.asarray(
+            self._run(cell, z3, z3, w, mode, seed=s))[5, 3])
+            for s in (1, 2, 3)]
+        # different seeds -> different dither realizations ...
+        assert len({round(v, 6) for v in vals}) > 1, vals
+        # ... all unbiased around the exact sum
+        for v in vals:
+            assert abs(v - r * 1.001) < 1.0, vals
 
 
 class TestGating:
