@@ -8,6 +8,7 @@ ion_finalize.jl:1-84).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -86,10 +87,17 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
     s = cfg.species[i_ion]
     e0 = s.rest_energy
 
+    # cell-weight spreading mode: the reference hardcodes the scalene
+    # triangle (i_approx=2, particle_counter.jl:72) and errors on the
+    # exact mode 3 (transformers.jl:132-134); here 3 is implemented
+    # (ops/reduce._exact_cdf) and selectable
+    i_approx = int(os.environ.get("MCS_I_APPROX", "2"))
     dn_cr = np.asarray(red.dndp_cr(
-        jnp.asarray(res.psd), bins, e0, prof.gamma_sf, cfg.gamma0))
+        jnp.asarray(res.psd), bins, e0, prof.gamma_sf, cfg.gamma0,
+        i_approx=i_approx))
     dn_th = np.asarray(red.dndp_cr(
-        jnp.asarray(res.therm_psd), bins, e0, prof.gamma_sf, cfg.gamma0))
+        jnp.asarray(res.therm_psd), bins, e0, prof.gamma_sf, cfg.gamma0,
+        i_approx=i_approx))
 
     zone_pop, zone_vol = red.zone_populations(
         setup.x_grid_cm, setup.i_shock, s.number_density, cfg.beta0,

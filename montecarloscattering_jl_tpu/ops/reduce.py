@@ -86,6 +86,67 @@ def _uniform_cdf(x, lo, hi):
     return jnp.where(tinyw, (x >= lo).astype(x.dtype), cdf)
 
 
+def _trapezoid_cdf(x, lo, b1, b2):
+    """CDF of alpha + beta*u + gamma*v for (u, v) uniform on the unit
+    square — the sum of two independent uniforms, i.e. a trapezoidal
+    distribution on [lo, lo+b1+b2] with plateau [lo+m, lo+M],
+    m = min(b1, b2), M = max(b1, b2).  Robust to degenerate spans."""
+    m = jnp.minimum(b1, b2)
+    big = jnp.maximum(b1, b2)
+    tot = m + big
+    tiny = tot <= 1.0e-12
+    s = x - lo
+    m_s = jnp.maximum(m, 1.0e-30)
+    big_s = jnp.maximum(big, 1.0e-30)
+    ramp_up = s * s / (2.0 * m_s * big_s)
+    plateau = (2.0 * s - m) / (2.0 * big_s)
+    ramp_dn = 1.0 - (tot - s) ** 2 / (2.0 * m_s * big_s)
+    cdf = jnp.where(s <= m, ramp_up, jnp.where(s <= big, plateau, ramp_dn))
+    cdf = jnp.where(s <= 0.0, 0.0, jnp.where(s >= tot, 1.0, cdf))
+    return jnp.where(tiny, (s >= 0.0).astype(x.dtype), cdf)
+
+
+_EXACT_SUBDIV = 4   # i_approx = 3 bilinear subdivision per cell axis
+
+
+def _exact_cdf(c00, c10, c01, c11, e):
+    """i_approx = 3: EXACT-overlap CDF of the transformed cell.
+
+    The reference reserves i_approx = 3 for exact rebinning but errors
+    on it (transformers.jl:132-134); this implements the intent.  The
+    cell's log-p surface is the bilinear interpolation of its four
+    transformed corners over the (u, v) unit square; the cell is
+    subdivided _EXACT_SUBDIV^2-fold and each subcell's restriction —
+    linear up to the residual cross term delta*du^2*uv,
+    delta = c00-c10-c01+c11, negligible for the near-planar cells the
+    corner transform produces — gets the exact trapezoidal CDF of a
+    linear function over a square.  Exact in the subdivision limit;
+    with k = 4 the residual is |delta|/16 in log10-p.
+
+    c** are [n_cells] corner log-p columns; `e` is [1, n_edges].
+    Returns the weight-fraction CDF [n_cells, n_edges].
+    """
+    k = _EXACT_SUBDIV
+    beta_full = c10 - c00
+    gamma_full = c01 - c00
+    delta = c11 - c10 - c01 + c00
+    cdf = 0.0
+    for r in range(k):
+        for s in range(k):
+            u0 = r / k
+            v0 = s / k
+            # corner value + edge slopes of the bilinear restricted to
+            # the subcell, then linearized (cross term dropped)
+            alpha = (c00 + beta_full * u0 + gamma_full * v0
+                     + delta * u0 * v0)
+            beta = (beta_full + delta * v0) / k
+            gamma = (gamma_full + delta * u0) / k
+            lo = alpha + jnp.minimum(beta, 0.0) + jnp.minimum(gamma, 0.0)
+            cdf = cdf + _trapezoid_cdf(e, lo, jnp.abs(beta),
+                                       jnp.abs(gamma))
+    return cdf / (k * k)
+
+
 def _rebin_matrix(corner_lp, edges_log, i_approx: int = 2):
     """[n_cells, n_bins] fraction matrix from the cell corner log-p grid.
 
@@ -96,11 +157,21 @@ def _rebin_matrix(corner_lp, edges_log, i_approx: int = 2):
       1  isosceles triangle peaked at the midpoint
       2  scalene triangle peaked at the mean of the two middle corners
          (the reference's production choice, particle_counter.jl:72)
+      3  exact bilinear-cell overlap (the mode the reference reserves
+         but errors on, transformers.jl:132-134; see _exact_cdf)
     """
     c00 = corner_lp[:-1, :-1]
     c10 = corner_lp[1:, :-1]
     c01 = corner_lp[:-1, 1:]
     c11 = corner_lp[1:, 1:]
+    # extend the last bin to +inf so overflow lands there, matching the
+    # reference's clamp-to-top-bin warnings (transformers.jl:68-92)
+    e = jnp.concatenate([edges_log[:-1], jnp.asarray([1.0e9])])
+    if i_approx == 3:
+        cdf = _exact_cdf(c00.reshape(-1, 1), c10.reshape(-1, 1),
+                         c01.reshape(-1, 1), c11.reshape(-1, 1),
+                         e[None, :])
+        return cdf[:, 1:] - cdf[:, :-1]
     stack = jnp.stack([c00, c10, c01, c11], axis=-1)
     lo = jnp.min(stack, axis=-1)
     hi = jnp.max(stack, axis=-1)
@@ -111,9 +182,6 @@ def _rebin_matrix(corner_lp, edges_log, i_approx: int = 2):
     lo = lo.reshape(-1, 1)
     hi = hi.reshape(-1, 1)
     peak = peak.reshape(-1, 1)
-    # extend the last bin to +inf so overflow lands there, matching the
-    # reference's clamp-to-top-bin warnings (transformers.jl:68-92)
-    e = jnp.concatenate([edges_log[:-1], jnp.asarray([1.0e9])])
     if i_approx == 0:
         cdf = _uniform_cdf(e[None, :], lo, hi)
     else:

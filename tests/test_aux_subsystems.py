@@ -116,11 +116,67 @@ class TestIApprox:
                               2.0, 10, 10, 30, 2)
         clp = corner_logp(2.0, K.MP_C2, jnp.asarray(bins.mom_edges),
                           jnp.asarray(bins.cos_bounds()))
-        for mode in (0, 1, 2):
+        for mode in (0, 1, 2, 3):
             m = np.asarray(_rebin_matrix(
                 clp, jnp.asarray(bins.mom_bounds_log), mode))
             sums = m.sum(axis=1)
             assert np.allclose(sums, 1.0, atol=1e-9), mode
+
+    def test_trapezoid_cdf_matches_monte_carlo(self):
+        """_trapezoid_cdf is the exact CDF of alpha + beta*u + gamma*v
+        over the unit square."""
+        import jax.numpy as jnp
+        from montecarloscattering_jl_tpu.ops.reduce import _trapezoid_cdf
+        rng = np.random.default_rng(1)
+        for beta, gamma in [(0.7, 0.3), (-0.4, 0.9), (0.5, 0.0),
+                            (0.0, 0.0), (1e-14, 0.6)]:
+            u, v = rng.random(200_000), rng.random(200_000)
+            samples = beta * u + gamma * v
+            lo = min(beta, 0.0) + min(gamma, 0.0)
+            xs = np.linspace(lo - 0.1, abs(beta) + abs(gamma) + lo + 0.1,
+                             41)
+            got = np.asarray(_trapezoid_cdf(
+                jnp.asarray(xs), lo, abs(beta), abs(gamma)))
+            want = (samples[:, None] <= xs[None, :]).mean(axis=0)
+            assert np.abs(got - want).max() < 5e-3, (beta, gamma)
+
+    def test_exact_mode_beats_triangles_on_planar_cell(self):
+        """For a planar (bilinear, zero cross-term) cell the i_approx=3
+        rebin reproduces the exact trapezoidal spreading; the triangle
+        modes only approximate it."""
+        import jax.numpy as jnp
+        from montecarloscattering_jl_tpu.ops.reduce import (
+            _exact_cdf, _trapezoid_cdf)
+        c00, c10, c01 = 1.0, 1.8, 1.3
+        c11 = c10 + c01 - c00          # planar: delta = 0
+        e = jnp.linspace(0.5, 2.6, 64)[None, :]
+        one = jnp.ones((1, 1))
+        got = np.asarray(_exact_cdf(c00 * one, c10 * one, c01 * one,
+                                    c11 * one, e))[0]
+        want = np.asarray(_trapezoid_cdf(e[0], c00, c10 - c00,
+                                         c01 - c00))
+        assert np.abs(got - want).max() < 1e-12
+
+    def test_exact_mode_in_driver_env_knob(self, monkeypatch):
+        """MCS_I_APPROX=3 flows through dndp_cr and conserves weight
+        in every frame."""
+        import jax.numpy as jnp
+        from montecarloscattering_jl_tpu.models.psd_bins import (
+            build_psd_bins)
+        from montecarloscattering_jl_tpu.ops import reduce as red
+        from montecarloscattering_jl_tpu.utils.species import Species
+        sp = [Species(K.MP_CGS, K.QE_CGS, 1e6, 1.0)]
+        bins = build_psd_bins(sp, 1, 0.0, 0.01, 0.0, 0.0, 100 * K.MP_C,
+                              2.0, 10, 10, 30, 2)
+        rng = np.random.default_rng(2)
+        nb = 4
+        psd = rng.random((bins.n_mom + 1, bins.n_theta + 1, nb))
+        dn = np.asarray(red.dndp_cr(jnp.asarray(psd), bins, K.MP_C2,
+                                    np.full(nb, 1.5), 2.0, i_approx=3))
+        dp = np.diff(bins.mom_edges)
+        # shock frame (no boost): weight conservation is exact
+        total = (dn[:, :, 0] * dp[:, None]).sum()
+        assert total == pytest.approx(psd.sum(), rel=1e-9)
 
 
 class TestTcuts:
