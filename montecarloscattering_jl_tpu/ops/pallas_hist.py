@@ -63,8 +63,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ZPAD = 128          # padded zone width; requires nb + 1 <= 128
-_TILE = 512         # records per MXU contraction
-_SUB = 8            # sub-tiles per grid program (block sublane dim)
+_TILE = int(os.environ.get("MCS_HIST_TILE", 512))   # records per MXU contraction
+_SUB = int(os.environ.get("MCS_HIST_SUB", 8))  # sub-tiles per grid program (block sublane dim)
 _ROWS_UNIT = _SUB * _TILE
 
 # Static band width (cells) — must cover the per-flush cell span or the
@@ -120,40 +120,84 @@ def hist_band_for(n_cells: int, nzc: int, psd_dtype) -> int:
     return min(DEFAULT_BAND, n_cells_pad)
 
 
-def _band_kernel(scalars_ref, cell_ref, lo_ref, hi_ref, w_ref, out_ref,
-                 *, band, mode):
+def _dot_t(a, b):
+    """a^T @ b contracting the leading (row) axis, f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _unpacked_tile(local, lo, hi, wcol, c_iota, z_iota):
+    """One unpacked sub-tile's rank-_TILE contribution: bf16 one-hot
+    over the band x value-carrying zone pattern.  All operands are
+    [_TILE, 1] COLUMNS (records sublane-major), so the broadcasts
+    against the lane-iotas are free — no lane->sublane transposes.
+    ``wcol`` [_TILE, n] carries the bf16-safe value column(s)."""
+    a = (local == c_iota).astype(jnp.bfloat16)
+    pat = ((z_iota == lo).astype(jnp.float32)
+           - (z_iota == hi + 1).astype(jnp.float32))
+    patb = pat.astype(jnp.bfloat16)
+    if wcol.shape[1] == 1:
+        b = wcol.astype(jnp.bfloat16) * patb
+    else:  # compensated halves stacked
+        b = jnp.concatenate([wcol[:, 0:1].astype(jnp.bfloat16) * patb,
+                             wcol[:, 1:2].astype(jnp.bfloat16) * patb],
+                            axis=1)
+    return _dot_t(a, b)
+
+
+def _band_kernel(scalars_ref, cell_ref, lo_ref, hi_ref,
+                 w_ref, out_ref, *, band, mode):
     """One grid program: _SUB sub-tiles of _TILE records, accumulated
     into the [band, ZPAD] ("sr") or [band, 2*ZPAD] ("comp", halves
-    stacked) VMEM block.  scalars_ref = [band offset, dither seed]."""
+    stacked) VMEM block.  scalars_ref = [band offset, dither seed].
+
+    Record blocks arrive TRANSPOSED [1, _TILE, _SUB] (records
+    sublane-major, sub-tile index in lanes): every per-sub-tile
+    operand is then a [_TILE, 1] column whose broadcast against the
+    lane-iotas is free.  The row-major layout needed a lane->sublane
+    transpose per operand per sub-tile — the dominant VPU cost
+    (measured 3.89 -> 3.07 ns/record from this change alone).
+
+    Negative result, for the record: a 4:1 survivor-packing fast path
+    (exact bf16 placement-one-hot matmuls compacting the ~17% real
+    crossings before the band contraction) was built and validated
+    BITWISE against this path on chip, but measured SLOWER (3.44 vs
+    3.07 ns/record): the prefix-count matmul plus eight small
+    [_TILE, _CAP] pack matmuls cost more than the saved band-matmul
+    FLOPs — small MXU dispatches are not free.  Reverted; the kernel
+    is at its structural roofline of band x ZPAD bf16 MACs/record."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    cellT = cell_ref[0]     # [_TILE, _SUB] i32
+    loT = lo_ref[0]
+    hiT = hi_ref[0]
+    wT = w_ref[0]           # [_TILE, _SUB] f32
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, band), 1)
     z_iota = jax.lax.broadcasted_iota(jnp.int32, (_TILE, ZPAD), 1)
+
     if mode == "sr":
         # stochastically round the whole program's w block once; the
-        # rounded value feeds BOTH difference-array entries
-        idx = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _TILE), 0)
+        # rounded value feeds BOTH difference-array entries.  Global
+        # record index in the transposed layout:
+        # i*_ROWS_UNIT + k*_TILE + t
+        idx = (jax.lax.broadcasted_iota(jnp.int32, (_TILE, _SUB), 1)
                * _TILE
-               + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _TILE), 1)
+               + jax.lax.broadcasted_iota(jnp.int32, (_TILE, _SUB), 0)
                + i * _ROWS_UNIT)
-        w_sr = _sr_bf16(w_ref[:], idx, scalars_ref[1])
+        w_srT = _sr_bf16(wT, idx, scalars_ref[1])
+
     acc = jnp.zeros_like(out_ref)
     for k in range(_SUB):
-        local = cell_ref[k, :] - scalars_ref[0]
-        a = (local[:, None] == c_iota).astype(jnp.bfloat16)
-        lo = lo_ref[k, :]
-        hi = hi_ref[k, :]
-        pat = ((z_iota == lo[:, None]).astype(jnp.float32)
-               - (z_iota == hi[:, None] + 1).astype(jnp.float32))
-        patb = pat.astype(jnp.bfloat16)
+        local = cellT[:, k:k + 1] - scalars_ref[0]
         if mode == "sr":
-            b = w_sr[k, :][:, None].astype(jnp.bfloat16) * patb
+            wcol = w_srT[:, k:k + 1]
         else:
-            wv = w_ref[k, :][:, None]
+            wv = wT[:, k:k + 1]
             # compensated bf16 split.  NOT wv - bf16(wv).astype(f32):
             # XLA's allow-excess-precision rule elides the
             # f32->bf16->f32 round-trip and the correction folds to
@@ -162,12 +206,11 @@ def _band_kernel(scalars_ref, cell_ref, lo_ref, hi_ref, w_ref, out_ref,
             w_hi_f32 = jax.lax.bitcast_convert_type(
                 jax.lax.bitcast_convert_type(wv, jnp.uint32)
                 & jnp.uint32(0xFFFF0000), jnp.float32)
-            w_hi = w_hi_f32.astype(jnp.bfloat16)   # exact: low bits are 0
-            w_lo = (wv - w_hi_f32).astype(jnp.bfloat16)
-            b = jnp.concatenate([w_hi * patb, w_lo * patb], axis=1)
-        acc = acc + jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            w_lo = wv - w_hi_f32       # w_hi exact: low bits are 0
+            wcol = jnp.concatenate([w_hi_f32, w_lo], axis=1)
+        acc = acc + _unpacked_tile(
+            local, loT[:, k:k + 1], hiT[:, k:k + 1], wcol,
+            c_iota, z_iota)
     out_ref[:] += acc
 
 
@@ -184,7 +227,6 @@ def _band_delta(cell, lo, hi, w, blo, band, seed, mode,
         hi = jnp.concatenate([hi, zi])
         w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
     nt = (r + pad) // _ROWS_UNIT
-    rows = nt * _SUB
     ncol = ZPAD if mode == "sr" else 2 * ZPAD
     # index maps must yield i32 even under jax_enable_x64 (a bare 0
     # traces as i64, which Mosaic refuses to legalize); `i - i` is a
@@ -192,7 +234,8 @@ def _band_delta(cell, lo, hi, w, blo, band, seed, mode,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[pl.BlockSpec((_SUB, _TILE), lambda i, s: (i, i - i),
+        in_specs=[pl.BlockSpec((1, _TILE, _SUB),
+                               lambda i, s: (i, i - i, i - i),
                                memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec((band, ncol),
                                lambda i, s: (i - i, i - i),
@@ -200,14 +243,17 @@ def _band_delta(cell, lo, hi, w, blo, band, seed, mode,
     )
     scalars = jnp.stack([blo.astype(jnp.int32),
                          seed.astype(jnp.int32)])
+
+    def t(x):
+        # records sublane-major per program block (see _band_kernel)
+        return x.reshape(nt, _SUB, _TILE).transpose(0, 2, 1)
+
     out = pl.pallas_call(
         functools.partial(_band_kernel, band=band, mode=mode),
         out_shape=jax.ShapeDtypeStruct((band, ncol), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, cell.reshape(rows, _TILE),
-      lo.reshape(rows, _TILE), hi.reshape(rows, _TILE),
-      w.reshape(rows, _TILE))
+    )(scalars, t(cell), t(lo), t(hi), t(w))
     if mode == "sr":
         return out
     return out[:, :ZPAD] + out[:, ZPAD:]

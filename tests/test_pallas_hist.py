@@ -32,12 +32,12 @@ def _numpy_ref(psd, cell, lo, hi, w):
     return out
 
 
-def _records(r, rng, cell_lo, cell_hi):
+def _records(r, rng, cell_lo, cell_hi, rate=0.3, max_span=3):
     cell = rng.integers(cell_lo, cell_hi, r).astype(np.int32)
-    lo = rng.integers(0, NZC - 4, r).astype(np.int32)
-    hi = lo + rng.integers(0, 3, r).astype(np.int32)
+    lo = rng.integers(0, NZC - max_span - 1, r).astype(np.int32)
+    hi = lo + rng.integers(0, max_span, r).astype(np.int32)
     w = (rng.random(r, np.float32) + 0.1) * (
-        rng.random(r) < 0.3).astype(np.float32)
+        rng.random(r) < rate).astype(np.float32)
     return cell, lo, hi, w
 
 
@@ -128,6 +128,40 @@ class TestPsdAccumulate:
         cell, lo, hi, w = _records(4096, rng, 44, N_CELLS)
         # poison non-crossing rows with out-of-window cells
         cell = np.where(w == 0, np.int32(0), cell)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
+        want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
+        np.testing.assert_allclose(got, want,
+                                   atol=_tol(mode) * np.abs(want).max())
+
+    def test_sparse_window(self, mode):
+        # low crossing rate (the production regime, mean 0.17)
+        rng = np.random.default_rng(6)
+        cell, lo, hi, w = _records(2 * 4096, rng, 30, 30 + BAND - 1,
+                                   rate=0.08)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
+        want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
+        np.testing.assert_allclose(got, want,
+                                   atol=_tol(mode) * np.abs(want).max())
+
+    def test_wide_zone_spans(self, mode):
+        # multi-zone hops: span up to the full zone axis
+        rng = np.random.default_rng(7)
+        cell, lo, hi, w = _records(4096, rng, 0, BAND - 1, rate=0.08,
+                                   max_span=NZC - 2)
+        got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
+        want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
+        np.testing.assert_allclose(got, want,
+                                   atol=_tol(mode) * np.abs(want).max())
+
+    def test_mixed_density_programs(self, mode):
+        # program 0 dense, program 1 sparse: both contribute correctly
+        rng = np.random.default_rng(8)
+        c1, l1, h1, w1 = _records(4096, rng, 10, 10 + BAND - 1, rate=0.9)
+        c2, l2, h2, w2 = _records(4096, rng, 10, 10 + BAND - 1, rate=0.05)
+        cell = np.concatenate([c1, c2])
+        lo = np.concatenate([l1, l2])
+        hi = np.concatenate([h1, h2])
+        w = np.concatenate([w1, w2])
         got = np.asarray(self._run(cell, lo, hi, w, mode), np.float64)
         want = _numpy_ref(np.zeros((N_CELLS, NZC)), cell, lo, hi, w)
         np.testing.assert_allclose(got, want,
