@@ -117,10 +117,16 @@ def main() -> None:
             kernel_rate, kernel_pushes = pushes / dt, pushes
 
     # ---- drain-to-empty segment rate (the e2e number) ----------------------
+    from montecarloscattering_jl_tpu.ops import pallas_step as pstep
     levels = int(os.environ.get("MCS_BENCH_COMPACT",
                                 _auto_levels(DRAIN_BATCH)))
-    seg = jax.jit(stp.run_segment, static_argnums=(4, 5),
-                  donate_argnums=(0, 1))
+    use_mega = pstep.megakernel_ok(ss, P_DTYPE, jnp.float32)
+    if use_mega:
+        def seg(st, tl, gr, sc_, _ss, _lv):
+            return pstep.run_segment_mega(st, tl, gr, sc_, _ss)
+    else:
+        seg = jax.jit(stp.run_segment, static_argnums=(4, 5),
+                      donate_argnums=(0, 1))
     s_out, _ = seg(fresh(0, DRAIN_BATCH), fresh_tal(DRAIN_BATCH), grids,
                    sc, ss, levels)
     jax.block_until_ready(s_out)         # compile + warm
@@ -131,6 +137,7 @@ def main() -> None:
         s_in, t_in = fresh(i + 1, DRAIN_BATCH), fresh_tal(DRAIN_BATCH)
         t0 = time.time()
         s_out, _ = seg(s_in, t_in, grids, sc, ss, levels)
+        jax.block_until_ready(s_out.nsteps)
         pushes = int(np.asarray(s_out.nsteps, np.int64).sum())
         dt = time.time() - t0
         if pushes / dt > drain_rate:
@@ -146,6 +153,7 @@ def main() -> None:
         "drain_batch": DRAIN_BATCH,
         "drain_pushes": drain_pushes,
         "compact_levels": levels,
+        "drain_engine": "megakernel" if use_mega else "xla",
     }))
 
 

@@ -128,6 +128,10 @@ class TransportEngine:
         """Plain or sharded segment executor for a static config."""
         lv = self.compact_levels
         if self.mesh is None or self.mesh.size <= 1:
+            from ..ops import pallas_step as pstep
+            if pstep.megakernel_ok(ss, self.p_dtype, self.psd_dtype):
+                return (lambda st, tl, gr, sc, _ss:
+                        pstep.run_segment_mega(st, tl, gr, sc, _ss))
             return (lambda st, tl, gr, sc, _ss:
                     stp.run_segment_jit(st, tl, gr, sc, _ss, lv))
         if ss not in self._sharded_seg:

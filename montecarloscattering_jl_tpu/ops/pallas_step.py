@@ -1,0 +1,1179 @@
+"""Pallas TPU transport MEGAKERNEL: the whole helix step fused into
+one Mosaic kernel, iterated S steps per launch with the particle block
+resident in VMEM.
+
+Why: the XLA step (ops/step.py helix_step) compiles to many separate
+TPU kernels whose combined fixed launch cost is ~250 us per step —
+irrelevant at 1M lanes (0.25 ns/lane-step) but catastrophic for the
+drain tail, where the last few thousand long-lived lanes pay it at
+~500 ns/lane-step (scripts/probe_drain_levels.py).  One Pallas kernel
+advancing a lane block S steps per launch reduces the per-step fixed
+cost to in-kernel loop overhead (~none) and removes the record-buffer
+/ flush machinery entirely: tallies accumulate on-chip every step.
+
+Design (same physics as ops/step.py, which remains the reference
+implementation and the fallback for unsupported configs):
+
+  * Lane-major layout: every per-lane field is a [R, 128] f32/i32
+    block (R = _ROWS rows of 128 lanes); one grid program owns one
+    block and loops S steps with the whole state in VMEM.
+  * All one-hots put the VALUE AXIS IN SUBLANES and LANES IN LANES
+    (sublane-iota vs broadcast row), contracted over lanes with
+    dot_general — no lane->sublane transposes anywhere.
+  * Zone fields: the boundary compare matrix cmp[z, lane] =
+    (x >= x_grid[z]) gives BOTH the zone index (column sum) and the
+    zone one-hot (cmp - shift(cmp)); fields are gathered by one
+    matmul against a 3-way bf16 split of the field table (hi/mid/lo
+    parts, each product exact, f32 accumulation -> full f32 fields).
+  * Positions and acceleration time are DOUBLE-SINGLE (hi+lo f32
+    pairs, ~48-bit mantissa): Mosaic has no f64.  Two-sum + renorm
+    per update; comparisons use the hi word (boundary spacing is
+    orders above f32 ulp at every grid scale).
+  * RNG: full Threefry-2x32-20 keyed by the SAME per-lane key data as
+    the XLA path, counter = (nsteps, word-pair) — counter-based,
+    deterministic, and stable under the outer compaction permutes.
+    The stream differs from jax.random's derivation, so megakernel
+    runs are statistically (not bitwise) equivalent to the XLA path.
+  * Tallies: per step, the crossing records feed the same band-one-hot
+    MXU contraction as ops/pallas_hist.py, accumulated into a
+    VMEM-resident difference-array PSD [n_cells_pad, 128] shared by
+    all grid programs; the four flux channels ride a [4, 128]
+    contraction into an aux block.  Values are stochastically rounded
+    to bf16 with the hash dither of pallas_hist (unbiased; see there).
+    Records whose cell falls outside the per-step band window are
+    DROPPED AND COUNTED (aux row 9); the wrapper raises if any were —
+    for supported configs the per-step cell span is far below the
+    band (scripts/probe_band_stats.py).
+
+Supported configs (megakernel_ok): parallel shock, f32 momenta, no
+tcuts / x_spec detectors / ion-electron energy transfer (those runs
+take the XLA path).  Radiation losses, retro walk, analytic return,
+custom eps_B decay, no-scatter/no-DSA switches are all supported as
+static flags.
+
+Reference parity anchors are the same as ops/step.py
+(particle_loop.jl:154-499, all_flux.jl:45-259, prob_return.jl:36-344).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.constants import C_CGS, RAD_LOSS_FAC
+from ..utils.params import ALL_FLUX_SPIKE_AWAY, E_REL_PT, MAX_HELIX_STEPS
+from . import state as st
+from .state import ACTIVE, FINISHED, SAVED
+
+LANE = 128
+_ROWS = int(os.environ.get("MCS_MEGA_ROWS", 32))     # lanes/block = _ROWS*128
+_STEPS = int(os.environ.get("MCS_MEGA_STEPS", 256))  # steps per launch
+_NF = 12   # f32 state fields
+_NI = 6    # i32 state fields
+ZPAD = 128
+
+# f32 state stack rows
+F_W, F_PB, F_PP, F_PHI, F_UXP, F_XNP, F_TST, F_PRP = range(8)
+F_XHI, F_XLO, F_ATHI, F_ATLO = 8, 9, 10, 11
+# i32 state stack rows
+I_STATUS, I_REASON, I_NSTEPS, I_FLAGS, I_KEY0, I_KEY1 = range(6)
+# flag bits
+FL_DW, FL_INJ, FL_RETRO, FL_JRET = 1, 2, 4, 8
+
+# aux output rows
+A_FLUX0 = 0            # rows 0-3: flux_diff [4, nzc] difference form
+A_PX_ESC, A_EN_ESC, A_SUM_P, A_SUM_KE = 4, 5, 6, 7
+A_ACTIVE, A_OVERFLOW = 8, 9
+N_AUX = 16
+
+_N_REFLECT_TRIES = 2
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _u32(x):
+    if getattr(x, "dtype", None) == jnp.uint32:
+        return x
+    if jnp.ndim(x) < 2:
+        # pltpu.bitcast requires >= 2D; scalar/1D via lax
+        return lax.bitcast_convert_type(x, jnp.uint32)
+    return pltpu.bitcast(x, jnp.uint32)
+
+
+def _rotl(x, r):
+    return (x << jnp.uint32(r)) | (x >> jnp.uint32(32 - r))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32, 20 rounds (the jax.random core PRF)."""
+    rots = ((13, 15, 26, 6), (17, 29, 16, 24))
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(0x1BD11BDA))
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for d in range(5):
+        for r in rots[d % 2]:
+            x0 = x0 + x1
+            x1 = _rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(d + 1) % 3]
+        x1 = x1 + ks[(d + 2) % 3] + jnp.uint32(d + 1)
+    return x0, x1
+
+
+def _uniforms(k0, k1, nsteps):
+    """8 uniform [R,128] slots: 16-bit halves of 4 threefry words,
+    (h + 0.5) / 2^16 — same resolution/discipline as ops/step.py."""
+    ctr = _u32(nsteps)
+    z = jnp.zeros_like(ctr)
+    w0, w1 = _threefry2x32(k0, k1, ctr, z)
+    w2, w3 = _threefry2x32(k0, k1, ctr, z + jnp.uint32(1))
+    out = []
+    for w in (w0, w1, w2, w3):
+        lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        hi = (w >> jnp.uint32(16)).astype(jnp.int32).astype(jnp.float32)
+        out.append((lo + 0.5) * (1.0 / 65536.0))
+        out.append((hi + 0.5) * (1.0 / 65536.0))
+    return out                         # u[0..7]
+
+
+def _ds_add(hi, lo, d):
+    """(hi, lo) + d with two-sum + renormalize (double-single)."""
+    s = hi + d
+    bv = s - hi
+    err = (hi - (s - bv)) + (d - bv)
+    lo2 = lo + err
+    hi2 = s + lo2
+    lo3 = lo2 - (hi2 - s)
+    return hi2, lo3
+
+
+def _dither16(idx, seed):
+    # seed is a SCALAR i32: Mosaic cannot bitcast scalars, so fold the
+    # golden-ratio multiply in wrapping i32 (bit-identical to u32) and
+    # broadcast to the vector shape before the bitcast
+    sm = jnp.broadcast_to(seed * jnp.int32(-1640531527), idx.shape)
+    h = _u32(idx) ^ _u32(sm)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h & jnp.uint32(0xFFFF)
+
+
+def _sr_bf16_bits(w, idx, seed):
+    """Stochastic-round f32 to the bf16 grid (kept f32; later bf16
+    casts are exact).  Same construction as pallas_hist._sr_bf16."""
+    u = pltpu.bitcast(w, jnp.uint32)
+    u = (u + _dither16(idx, seed)) & jnp.uint32(0xFFFF0000)
+    return pltpu.bitcast(u, jnp.float32)
+
+
+def _dot_ll(a, b):
+    """Contract the LANE (last) axis of both operands on the MXU with
+    f32 accumulation: out[i, j] = sum_l a[i, l] b[j, l]."""
+    return lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+def _dot_ss(a, b):
+    """Contract the SUBLANE (first) axis of both operands."""
+    return lax.dot_general(a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
+                 fs_out, is_out, psd_out, aux_out, psd_scr, *,
+                 band, n_cells_pad, n_steps, cfg):
+    """One grid program: advance one lane block `n_steps` steps.
+
+    cfg is a dict of static flags/values (see megakernel_plan)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        psd_out[:] = jnp.zeros_like(psd_out)
+        aux_out[:] = jnp.zeros_like(aux_out)
+
+    @pl.when(act_ref[i] == 0)
+    def _():
+        fs_out[:] = fs_ref[:]
+        is_out[:] = is_ref[:]
+
+    @pl.when(act_ref[i] != 0)
+    def _():
+        _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
+                   fs_out, is_out, psd_out, aux_out, psd_scr,
+                   band=band, n_cells_pad=n_cells_pad,
+                   n_steps=n_steps, cfg=cfg, prog=i)
+
+
+def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
+               fs_out, is_out, psd_out, aux_out, psd_scr, *,
+               band, n_cells_pad, n_steps, cfg, prog):
+    R = _ROWS
+    BL = R * LANE
+    c = np.float32(C_CGS)
+
+    def s(k):
+        return scf_ref[k]
+
+    m = s(0)
+    mc = s(1)
+    e0 = s(2)
+    inv_q = s(3)
+    pcut = s(4)
+    pcut_prev = s(5)
+    pmax_cutoff = s(6)
+    u2 = s(7)
+    bmag2 = s(8)
+    b_cmbz = s(9)
+    g0u0 = s(10)
+    feb_up = s(11)
+    feb_dw = s(12)
+    x_stop = s(13)
+    age_max = s(14)
+    pe_crit = s(15)
+    gamma_e_crit = s(16)
+    inj_frac = s(17)
+    b_dw = s(18)        # btot[nb-2]
+    gsf_dw = s(19)
+    gef_dw = s(20)
+    ux_dw = s(21)
+    seed = scf_ref[22].astype(jnp.int32)
+
+    w_lane = fs_ref[F_W]
+    key0 = _u32(is_ref[I_KEY0])
+    key1 = _u32(is_ref[I_KEY1])
+
+    eta = np.float32(cfg["eta_mfp"])
+    xn_coarse = np.float32(cfg["xn_per_coarse"])
+    xn_fine = np.float32(cfg["xn_per_fine"])
+    cmax_coarse = np.float32(np.cos(np.sqrt(
+        12.0 * np.pi / (cfg["xn_per_coarse"] * cfg["eta_mfp"]))))
+    cmax_fine = np.float32(np.cos(np.sqrt(
+        12.0 * np.pi / (cfg["xn_per_fine"] * cfg["eta_mfp"]))))
+    is_el = cfg["is_electron"]
+    two_pi = np.float32(2.0 * np.pi)
+
+    # record index base for the SR dither (unique per program)
+    idx0 = (lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+            * jnp.int32(LANE)
+            + lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+            + prog * jnp.int32(BL))
+
+    xg_col = xg_ref[:, 0:1]                     # [128, 1] boundaries
+
+    def zone_of(x_row):
+        """cmp [128, BL] f32, ig [1, BL] from a position row."""
+        cmp = (x_row >= xg_col).astype(jnp.float32)    # [128, BL]
+        ig = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+        return cmp, ig
+
+    def step(sv, _):
+        (pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo, athi, atlo,
+         status, reason, nsteps, flags) = sv
+
+        act = status == ACTIVE
+        retro = (flags & jnp.int32(FL_RETRO)) != 0
+        jret = (flags & jnp.int32(FL_JRET)) != 0
+        dwf = (flags & jnp.int32(FL_DW)) != 0
+        injf = (flags & jnp.int32(FL_INJ)) != 0
+        norm = act & ~retro
+        do_b3 = norm & ~jret
+
+        u = _uniforms(key0, key1, nsteps)
+
+        # ---- zone fields from position ---------------------------------
+        x_row = xhi.reshape(1, BL)
+        if "zone" in cfg["prof_kill"]:
+            ig_row = jnp.zeros((1, BL), jnp.float32) + 3.0
+            oh = jnp.where(
+                lax.broadcasted_iota(jnp.int32, (128, BL), 0) == 3,
+                np.float32(1.0), np.float32(0.0))
+        else:
+            cmp, ig_row = zone_of(x_row)
+        # zone one-hot: in zone z iff x >= xg[z] and x < xg[z+1]
+            # shift rows up by one via static slices (dynamic_rotate
+            # wants an i32 shift and x64 tracing hands it i64)
+            shifted = jnp.concatenate([cmp[1:, :],
+                                       jnp.zeros_like(cmp[:1, :])],
+                                      axis=0)
+            oh = cmp - shifted
+        oh = oh * (lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                   < jnp.int32(cfg["nb"])).astype(jnp.float32)
+        zf = _dot_ss(zs_ref[:], oh.astype(jnp.bfloat16))  # [32, BL]
+        gath = zf[0:4] + zf[8:12] + zf[16:20]   # [4, BL] hi+mid+lo
+        ux = gath[0:1].reshape(R, LANE)
+        gsf = gath[1:2].reshape(R, LANE)
+        gef = gath[2:3].reshape(R, LANE)
+        bmag = gath[3:4].reshape(R, LANE)
+        ig = ig_row.astype(jnp.int32).reshape(R, LANE)
+
+        if cfg["use_custom_eps_b"]:
+            beyond = xhi > x_stop
+            b_far = b_dw * jnp.sqrt(x_stop / jnp.maximum(xhi, x_stop))
+            bmag = jnp.where(beyond, b_far, bmag)
+        gden = inv_q / bmag
+
+        ptot = jnp.hypot(pb, pperp)
+        gamma_pf = jnp.hypot(ptot / mc, 1.0)
+
+        # ---- Code Block 3 ----------------------------------------------
+        changed = do_b3 & (ux != uxp)
+        beta_old = uxp / c
+        gsf_old = 1.0 / jnp.sqrt(jnp.maximum(1.0 - beta_old * beta_old,
+                                             np.float32(1e-30)))
+        px_sk_t = gsf_old * (pb + gamma_pf * m * uxp)
+        pt_sk_t = jnp.hypot(px_sk_t, pperp)
+        g_sk_t = jnp.hypot(pt_sk_t / mc, 1.0)
+        pb_tr = gsf * (px_sk_t - g_sk_t * m * ux)
+        pb = jnp.where(changed, pb_tr, pb)
+        ptot = jnp.hypot(pb, pperp)
+        gamma_pf = jnp.hypot(ptot / mc, 1.0)
+        uxp = jnp.where(do_b3, ux, uxp)
+
+        r_g_perp = pperp * c * gden
+        if cfg["dont_scatter"]:
+            esc_ns = do_b3 & (xhi > 10.0 * r_g_perp)
+            status = jnp.where(esc_ns, jnp.int32(FINISHED), status)
+            reason = jnp.where(esc_ns, jnp.int32(st.R_DOWNSTREAM), reason)
+            do_b3 = do_b3 & ~esc_ns
+
+        # pmax escape (both frames)
+        px_sk0 = gsf * (pb + gamma_pf * m * ux)
+        pt_sk0 = jnp.hypot(px_sk0, pperp)
+        esc_pmax = do_b3 & (ptot > pmax_cutoff) & (pt_sk0 > pmax_cutoff)
+        status = jnp.where(esc_pmax, jnp.int32(FINISHED), status)
+        reason = jnp.where(esc_pmax, jnp.int32(st.R_UPSTREAM_PMAX), reason)
+        do_b3 = do_b3 & ~esc_pmax
+
+        # upstream FEB escape
+        esc_feb = do_b3 & injf & (xhi < feb_up)
+        status = jnp.where(esc_feb, jnp.int32(FINISHED), status)
+        reason = jnp.where(esc_feb, jnp.int32(st.R_UPSTREAM_PMAX), reason)
+        do_b3 = do_b3 & ~esc_feb
+
+        # age escape
+        if cfg["has_age_max"]:
+            esc_age = do_b3 & (athi > age_max)
+            status = jnp.where(esc_age, jnp.int32(FINISHED), status)
+            reason = jnp.where(esc_age, jnp.int32(st.R_AGE), reason)
+            do_b3 = do_b3 & ~esc_age
+
+        # radiative losses
+        if cfg["do_rad_losses"] and is_el:
+            b_cmb_loc = b_cmbz * gef
+            bsq = bmag * bmag + b_cmb_loc * b_cmb_loc
+            dlnp = np.float32(RAD_LOSS_FAC) * bsq * ptot * tstep
+            p_lost = jnp.where(dlnp > 1e-2, ptot / (1.0 + dlnp),
+                               ptot * (1.0 - dlnp))
+            dead = do_b3 & (p_lost <= 0.0)
+            scale = jnp.where(do_b3,
+                              p_lost / jnp.maximum(ptot,
+                                                   np.float32(1e-30)),
+                              1.0)
+            pb = pb * scale
+            pperp = pperp * scale
+            ptot = jnp.hypot(pb, pperp)
+            gamma_pf = jnp.hypot(ptot / mc, 1.0)
+            status = jnp.where(dead, jnp.int32(FINISHED), status)
+            reason = jnp.where(dead, jnp.int32(st.R_RADIATED), reason)
+            do_b3 = do_b3 & ~dead
+
+        # pitch-angle scattering (parallel: no phase adjustment)
+        if not cfg["dont_scatter"]:
+            cos_max = jnp.where(xnp == xn_coarse, cmax_coarse, cmax_fine)
+            safe_pt = jnp.maximum(ptot, np.float32(1e-30))
+            cos_old = pb / safe_pt
+            sin_old = pperp / safe_pt
+            cos_dt = 1.0 - u[0] * (1.0 - cos_max)
+            sin_dt = jnp.sqrt(jnp.maximum(1.0 - cos_dt * cos_dt, 0.0))
+            phi_sc = u[1] * two_pi - np.float32(np.pi)
+            cos_new = jnp.clip(cos_old * cos_dt
+                               + sin_old * sin_dt * jnp.cos(phi_sc),
+                               -1.0, 1.0)
+            sin_new = jnp.sqrt(jnp.maximum(1.0 - cos_new * cos_new, 0.0))
+            pb = jnp.where(do_b3, ptot * cos_new, pb)
+            pperp = jnp.where(do_b3, ptot * sin_new, pperp)
+
+        # gyro period / t_step
+        if is_el:
+            g_eff = jnp.where(ptot < pe_crit, gamma_e_crit, gamma_pf)
+        else:
+            g_eff = gamma_pf
+        gyro_period = two_pi * g_eff * mc * gden
+
+        # acctime (+ downstream only), pcut save-out
+        adding = do_b3 & dwf
+        athi, atlo = _ds_add(athi, atlo,
+                             jnp.where(adding, tstep * gef, 0.0))
+        save = adding & (ptot > pcut)
+        status = jnp.where(save, jnp.int32(SAVED), status)
+        prp = jnp.where(save & (xhi >= prp), xhi * 1.1, prp)
+        do_b3 = do_b3 & ~save
+
+        r_g_tot = ptot * c * gden
+        xnp = jnp.where(norm & (status == ACTIVE),
+                        jnp.where(xhi > r_g_tot, xn_coarse, xn_fine),
+                        xnp)
+
+        # ---- movement ---------------------------------------------------
+        moving = (status == ACTIVE) & ~retro
+        tstep_new = gyro_period / xnp
+        tstep = jnp.where(moving, tstep_new, tstep)
+
+        x_old_hi, x_old_lo = xhi, xlo
+        done = ~moving
+        pb_m = pb
+        phi_m = phi
+        dx_acc = jnp.zeros_like(pb)
+        phi_fin = phi
+        u_inj = (u[5], u[6])
+        u_phi = (u[7], u[3])
+        for k in range(_N_REFLECT_TRIES):
+            phi_try = jnp.mod(phi_m + two_pi / xnp, two_pi)
+            dx = gsf * (pb_m * tstep / (gamma_pf * m) + ux * tstep)
+            x_try_hi = x_old_hi + dx          # hi-word probe only
+            cross_up = ((x_try_hi <= 0.0) & (x_old_hi > 0.0) & ~injf
+                        & (cfg["dont_dsa"] | (inj_frac < 1.0)))
+            fail = cfg["dont_dsa"] | (u_inj[k] > inj_frac)
+            refl = ~done & cross_up & fail
+            accept = ~done & ~refl
+            dx_acc = jnp.where(accept, dx, dx_acc)
+            phi_fin = jnp.where(accept, phi_try, phi_fin)
+            done = done | accept
+            neg = pb_m < 0.0
+            pb_m = jnp.where(refl & neg, -pb_m, pb_m)
+            phi_m = jnp.where(refl & ~neg, u_phi[k] * two_pi, phi_m)
+        phi_try = jnp.mod(phi_m + two_pi / xnp, two_pi)
+        dx = gsf * (pb_m * tstep / (gamma_pf * m) + ux * tstep)
+        dx_acc = jnp.where(done, dx_acc, dx)
+        phi_fin = jnp.where(done, phi_fin, phi_try)
+        pb = jnp.where(moving, pb_m, pb)
+        phi = jnp.where(moving, phi_fin, phi)
+        xhi, xlo = _ds_add(xhi, xlo, jnp.where(moving, dx_acc, 0.0))
+
+        first_dw = moving & (x_old_hi < 0.0) & (xhi >= 0.0)
+        dwf = dwf | first_dw
+        l_diff0 = eta / 3.0 * r_g_tot * ptot / (m * gamma_pf * u2)
+        prp = jnp.where(first_dw, jnp.maximum(prp, l_diff0), prp)
+        injf = injf | (moving & dwf & (xhi < 0.0))
+
+        # ---- tallies (all_flux) -----------------------------------------
+        x_row2 = xhi.reshape(1, BL)
+        if "zone" in cfg["prof_kill"]:
+            ig2_row = jnp.zeros((1, BL), jnp.float32) + 3.0
+        else:
+            _, ig2_row = zone_of(x_row2)
+        ig_new = jnp.clip(ig2_row.astype(jnp.int32).reshape(R, LANE),
+                          jnp.int32(0), jnp.int32(cfg["nb"] - 2))
+        ig_new = jnp.where(moving, ig_new, ig)
+
+        px_sk = gsf * (pb + gamma_pf * m * ux)
+        pt_sk = jnp.hypot(px_sk, pperp)
+        g_sk = jnp.hypot(pt_sk / mc, 1.0)
+        pz_sk = -pperp * jnp.sin(phi)
+        spike = pt_sk > jnp.abs(px_sk) * np.float32(ALL_FLUX_SPIKE_AWAY)
+        inv_vx = jnp.where(
+            spike,
+            jnp.abs(np.float32(ALL_FLUX_SPIKE_AWAY) / ux),
+            jnp.abs(g_sk * m / jnp.where(px_sk == 0.0,
+                                         np.float32(1e-30), px_sk)))
+        rel = (g_sk - 1.0) > np.float32(E_REL_PT)
+        e_add = jnp.where(rel, (g_sk - 1.0) * e0 * w_lane,
+                          pt_sk * pt_sk / (2.0 * m) * w_lane)
+
+        moved_down = xhi > x_old_hi
+        one = jnp.int32(1)
+        lo_z = jnp.where(moved_down, ig + one, ig_new + one)
+        hi_z = jnp.where(moved_down, ig_new, ig)
+        lo_z = jnp.where(~moved_down & injf,
+                         jnp.maximum(lo_z, jnp.int32(cfg["i_grid_feb"] + 1)),
+                         lo_z)
+        crossed = moving & (hi_z >= lo_z)
+        lo_c = jnp.clip(lo_z, jnp.int32(0), jnp.int32(cfg["nb"] - 1))
+        hi_c = jnp.clip(hi_z, jnp.int32(0), jnp.int32(cfg["nb"] - 1))
+
+        sign = jnp.where(moved_down, np.float32(1.0), np.float32(-1.0))
+        on = crossed.astype(jnp.float32)
+        v_pxx = sign * px_sk * w_lane * g0u0 * on
+        v_pxz = jnp.abs(pz_sk) * w_lane * g0u0 * on
+        v_en = sign * e_add * g0u0 * on
+        v_n = (crossed & ~injf).astype(jnp.float32)
+
+        # psd bins: faithful port of models/psd_bins.psd_bin_momentum
+        # / psd_bin_angle (get_psd_bins.jl:16-39, 73-97)
+        inv_ln10 = np.float32(1.0 / np.log(10.0))
+        lp = (jnp.log(jnp.maximum(pt_sk, np.float32(1e-37))) * inv_ln10
+              - np.float32(np.log10(cfg["psd_mom_min"])))
+        ipb = (jnp.floor(lp * np.float32(cfg["bins_per_dec_mom"]))
+               .astype(jnp.int32) + jnp.int32(1))
+        ipb = jnp.where(pt_sk < np.float32(cfg["psd_mom_min"]),
+                        jnp.int32(0), ipb)
+        ipb = jnp.clip(ipb, jnp.int32(0), jnp.int32(cfg["n_mom"]))
+
+        p_cos = jnp.clip(-px_sk / jnp.maximum(pt_sk, np.float32(1e-37)),
+                         -1.0, 1.0)
+        jlin = jnp.int32(cfg["n_theta"]) - jnp.floor(
+            (p_cos + 1.0) / np.float32(cfg["dcos"])).astype(jnp.int32)
+        # arccos via the small-angle series (the log-theta branch is
+        # selected only for p_cos >= cos_fine, i.e. theta <~ 0.25 rad,
+        # where the 3-term series is accurate to ~1e-6 rad — far below
+        # a bin width; Mosaic has no acos primitive)
+        q = jnp.maximum(1.0 - p_cos, 0.0)
+        theta = jnp.sqrt(2.0 * q) * (1.0 + q * np.float32(1.0 / 12.0)
+                                     + q * q * np.float32(3.0 / 160.0))
+        lt = (jnp.log(jnp.maximum(theta, np.float32(1e-37))) * inv_ln10
+              - np.float32(np.log10(cfg["theta_min"])))
+        jlog = (jnp.floor(lt * np.float32(cfg["bins_per_dec_theta"]))
+                .astype(jnp.int32) + jnp.int32(1))
+        jlog = jnp.where(theta < np.float32(cfg["theta_min"]),
+                         jnp.int32(0), jlog)
+        jt = jnp.where(p_cos < np.float32(cfg["cos_fine"]), jlin, jlog)
+        jt = jnp.where(pt_sk <= 0.0, jnp.int32(0), jt)
+        jt = jnp.clip(jt, jnp.int32(0), jnp.int32(cfg["n_theta"]))
+
+        kind = (~injf).astype(jnp.int32)
+        cell = ((ipb * jnp.int32(2) + kind) * jnp.int32(cfg["n_theta"] + 1)
+                + jt)
+        psd_w = w_lane * inv_vx * on
+
+        # scalar min in f32 (cells < 2^24 are exact; Mosaic's i32
+        # scalar reductions recurse in the lowering's convert helper)
+        cellf = cell.astype(jnp.float32)
+        blo = jnp.min(jnp.where(crossed, cellf,
+                                np.float32(1e9))).astype(jnp.int32)
+        blo_c = jnp.clip(blo, jnp.int32(0), jnp.int32(n_cells_pad - band))
+        oob = crossed & ((cell < blo_c)
+                         | (cell >= blo_c + jnp.int32(band)))
+        aux_out[A_OVERFLOW:A_OVERFLOW + 1, :] += jnp.sum(
+            oob.astype(jnp.float32).reshape(R, LANE), axis=0,
+            keepdims=True)
+
+        # stochastic rounding to the bf16 grid (unbiased; dither keyed
+        # by lane slot x per-lane step count so successive steps and
+        # lanes decorrelate)
+        dkey = idx0 ^ (nsteps << jnp.int32(12))
+        w_sr = _sr_bf16_bits(psd_w, dkey, seed)
+        vx_sr = _sr_bf16_bits(v_pxx, dkey, seed + jnp.int32(101))
+        vz_sr = _sr_bf16_bits(v_pxz, dkey, seed + jnp.int32(202))
+        ve_sr = _sr_bf16_bits(v_en, dkey, seed + jnp.int32(303))
+
+        K = 8 * LANE        # 1024-lane tally chunks
+        n_ch = BL // K
+        if "tally" not in cfg["prof_kill"]:
+            cell4 = cell.reshape(n_ch, K)
+            lo4 = lo_c.reshape(n_ch, K)
+            hi4 = hi_c.reshape(n_ch, K)
+            wsr4 = w_sr.reshape(n_ch, K)
+            vx4 = vx_sr.reshape(n_ch, K)
+            vz4 = vz_sr.reshape(n_ch, K)
+            ve4 = ve_sr.reshape(n_ch, K)
+            vn4 = v_n.reshape(n_ch, K)
+            c_iota = lax.broadcasted_iota(jnp.int32, (band, K), 0) + blo_c
+            z_iota2 = lax.broadcasted_iota(jnp.int32, (ZPAD, K), 0)
+            for ch in range(n_ch):
+                cr = cell4[ch:ch + 1, :]
+                a = (cr == c_iota).astype(jnp.bfloat16)   # [band, K]
+                lr = lo4[ch:ch + 1, :]
+                hr = hi4[ch:ch + 1, :]
+                pat = ((z_iota2 == lr).astype(jnp.float32)
+                       - (z_iota2 == hr + jnp.int32(1))
+                       .astype(jnp.float32))
+                patb = pat.astype(jnp.bfloat16)
+                b = patb * wsr4[ch:ch + 1, :].astype(jnp.bfloat16)
+                d = _dot_ll(a, b)                         # [band, ZPAD]
+                if ch == 0:
+                    psd_scr[:] = d
+                else:
+                    psd_scr[:] += d
+                vals = jnp.concatenate(
+                    [vx4[ch:ch + 1], vz4[ch:ch + 1], ve4[ch:ch + 1],
+                     vn4[ch:ch + 1]], axis=0).astype(jnp.bfloat16)
+                aux_out[A_FLUX0:A_FLUX0 + 4, :] += _dot_ll(vals, patb)
+            psd_out[pl.ds(blo_c, band), :] += psd_scr[:]
+
+        # escaping flux at the upstream FEB
+        esc_cross = (moving & injf & (xhi < feb_up)
+                     & (x_old_hi >= feb_up))
+        aux_out[A_EN_ESC:A_EN_ESC + 1, :] += jnp.sum(
+            jnp.where(esc_cross, e_add * g0u0, 0.0), axis=0,
+            keepdims=True)
+        aux_out[A_PX_ESC:A_PX_ESC + 1, :] += jnp.sum(
+            jnp.where(esc_cross, -px_sk * w_lane * g0u0, 0.0), axis=0,
+            keepdims=True)
+
+        # ---- downstream logic -------------------------------------------
+        jret = jnp.zeros_like(jret)
+        if is_el:
+            low_e = ptot < pe_crit
+            v_fac = jnp.where(
+                low_e,
+                (pe_crit * c * gden) * pe_crit / (m * gamma_e_crit * u2),
+                (ptot * c * gden) * ptot / (m * gamma_pf * u2))
+        else:
+            v_fac = (ptot * c * gden) * ptot / (m * gamma_pf * u2)
+        l_diff = eta / 3.0 * v_fac
+
+        esc_feb_dw = moving & (feb_dw > 0.0) & (xhi > feb_dw)
+        esc_far = (moving & ~esc_feb_dw & (xhi > 1.1 * prp)
+                   & (xhi > 6.91 * l_diff))
+        do_ret = moving & ~esc_feb_dw & ~esc_far
+
+        past_end = do_ret & (xhi >= x_stop)
+        just_end = past_end & (x_old_hi < x_stop)
+        gyro_tmp = jnp.ones_like(ptot)
+        if cfg["use_custom_eps_b"]:
+            gyro_tmp = jnp.sqrt(x_stop / jnp.maximum(xhi, x_stop))
+        r_g2 = ptot * c * gyro_tmp * inv_q / bmag2
+        l_diff2 = eta / 3.0 * r_g2 * ptot / (m * gamma_pf * u2)
+        prp = jnp.where(just_end, xhi + 3.0 * l_diff2, prp)
+
+        crossed_prp = (past_end & ~just_end & (x_old_hi < prp)
+                       & (xhi >= prp))
+        vt = ptot / (gamma_pf * m)
+        p_ret = ((vt - u2) / (vt + u2)) ** 2
+        no_ret = crossed_prp & ((vt < u2) | (u[2] > p_ret))
+        status = jnp.where(no_ret, jnp.int32(FINISHED), status)
+        reason = jnp.where(no_ret, jnp.int32(st.R_DOWNSTREAM), reason)
+        returns = crossed_prp & ~no_ret
+        if cfg["do_retro"]:
+            retro = retro | returns
+            xhi = jnp.where(returns, prp, xhi)
+            xlo = jnp.where(returns, 0.0, xlo)
+            phi = jnp.where(returns, u[4] * two_pi, phi)
+        else:
+            vmu_min = -vt
+            span = u2 - vmu_min
+            vmu = u2 - span * jnp.sqrt(u[3])
+            mu = jnp.clip(vmu / jnp.maximum(vt, np.float32(1e-30)),
+                          -1.0, 1.0)
+            pb_ret = ptot * mu
+            pperp_ret = jnp.sqrt(jnp.maximum(ptot * ptot
+                                             - pb_ret * pb_ret, 0.0))
+            pb = jnp.where(returns, pb_ret, pb)
+            pperp = jnp.where(returns, pperp_ret, pperp)
+            phi = jnp.where(returns, u[4] * two_pi, phi)
+            xhi = jnp.where(returns, prp, xhi)
+            xlo = jnp.where(returns, 0.0, xlo)
+            jret = jret | returns
+
+        if is_el:
+            idle = past_end & ~just_end & ~crossed_prp
+            check = (idle & (ptot < pcut_prev)
+                     & (nsteps % jnp.int32(1000) == jnp.int32(0)))
+            r_g = ptot * c * gden
+            l_d = eta / 3.0 * r_g * ptot / (m * gamma_pf * u2)
+            far = xhi > 2.0e3 * l_d
+            shrink = jnp.where(
+                far, 0.8 * xhi,
+                jnp.minimum(prp, x_stop + l_d
+                            * (pcut_prev
+                               / jnp.maximum(ptot, np.float32(1e-30)))
+                            ** 5))
+            prp = jnp.where(check, shrink, prp)
+
+        esc = esc_feb_dw | esc_far
+        status = jnp.where(esc, jnp.int32(FINISHED), status)
+        reason = jnp.where(esc, jnp.int32(st.R_DOWNSTREAM), reason)
+
+        # downstream-escape pressure/KE sums
+        esc_dw = moving & (status == FINISHED) & (reason == st.R_DOWNSTREAM)
+        vel = ptot / m
+        vel = jnp.where((gamma_pf - 1.0) >= np.float32(E_REL_PT),
+                        vel / gamma_pf, vel)
+        aux_out[A_SUM_P:A_SUM_P + 1, :] += jnp.sum(
+            jnp.where(esc_dw, ptot / 3.0 * vel * w_lane, 0.0),
+            axis=0, keepdims=True)
+        aux_out[A_SUM_KE:A_SUM_KE + 1, :] += jnp.sum(
+            jnp.where(esc_dw, (gamma_pf - 1.0) * e0 * w_lane, 0.0),
+            axis=0, keepdims=True)
+
+        # ---- retro walk --------------------------------------------------
+        if cfg["do_retro"]:
+            in_retro = act & retro
+            xn_retro = np.float32(10.0)
+            b2 = b_dw
+            if cfg["use_custom_eps_b"]:
+                b2 = b2 * jnp.sqrt(x_stop / jnp.maximum(xhi, x_stop))
+            gden_r = inv_q / b2
+            u_back = -ux_dw
+            ptot_r = jnp.hypot(pb, pperp)
+            gamma_r = jnp.hypot(ptot_r / mc, 1.0)
+            t_fac = two_pi * mc * gden_r / xn_retro
+            t_step_r = t_fac * gamma_r
+            dx_r = gsf_dw * (pb * t_fac / m + u_back * t_step_r)
+            x_try_hi = xhi + dx_r
+            at_d = jnp.where(in_retro, t_step_r * gef_dw, 0.0)
+            athi, atlo = _ds_add(athi, atlo, at_d)
+            phi_las = two_pi * u[0]
+            mu_las = 2.0 * u[1] - 1.0
+            p_new = ptot_r
+            if cfg["do_rad_losses"] and is_el:
+                b_cmb_loc = b_cmbz * gef_dw
+                bsq = b2 * b2 + b_cmb_loc * b_cmb_loc
+                dlnp = np.float32(RAD_LOSS_FAC) * bsq * ptot_r * t_step_r
+                p_new = jnp.where(dlnp > 1e-2, ptot_r / (1.0 + dlnp),
+                                  ptot_r * (1.0 - dlnp))
+            dead_r = in_retro & (p_new <= 0.0)
+            pb_n = p_new * mu_las
+            pperp_n = jnp.sqrt(jnp.maximum(p_new * p_new - pb_n * pb_n,
+                                           0.0))
+            returned = in_retro & ~dead_r & (x_try_hi < prp)
+            xhi = jnp.where(in_retro,
+                            jnp.where(returned, prp, x_try_hi), xhi)
+            xlo = jnp.where(in_retro, 0.0, xlo)
+            pb = jnp.where(in_retro, pb_n, pb)
+            pperp = jnp.where(in_retro, pperp_n, pperp)
+            phi = jnp.where(in_retro, phi_las, phi)
+            status = jnp.where(dead_r, jnp.int32(FINISHED), status)
+            reason = jnp.where(dead_r, jnp.int32(st.R_RADIATED), reason)
+            retro = jnp.where(returned | dead_r, False, retro)
+            jret = jret | returned
+
+        # helix cap
+        nsteps = nsteps + (act).astype(jnp.int32)
+        capped = ((status == ACTIVE)
+                  & (nsteps >= jnp.int32(MAX_HELIX_STEPS)))
+        status = jnp.where(capped, jnp.int32(FINISHED), status)
+        reason = jnp.where(capped, jnp.int32(st.R_DOWNSTREAM), reason)
+
+        flags = ((dwf.astype(jnp.int32) * jnp.int32(FL_DW))
+                 | (injf.astype(jnp.int32) * jnp.int32(FL_INJ))
+                 | (retro.astype(jnp.int32) * jnp.int32(FL_RETRO))
+                 | (jret.astype(jnp.int32) * jnp.int32(FL_JRET)))
+        return ((pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo,
+                 athi, atlo, status, reason, nsteps, flags), None)
+
+    init = (fs_ref[F_PB], fs_ref[F_PP], fs_ref[F_PHI],
+            fs_ref[F_UXP], fs_ref[F_XNP], fs_ref[F_TST],
+            fs_ref[F_PRP], fs_ref[F_XHI], fs_ref[F_XLO],
+            fs_ref[F_ATHI], fs_ref[F_ATLO],
+            is_ref[I_STATUS], is_ref[I_REASON],
+            is_ref[I_NSTEPS], is_ref[I_FLAGS])
+
+    def body(si, sv):
+        out, _ = step(sv, None)
+        return out
+
+    # i32 bounds: an i64 loop counter aborts the Mosaic layout pass
+    fin = lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, init)
+    (pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo, athi, atlo,
+     status, reason, nsteps, flags) = fin
+
+    fs_out[F_W] = w_lane
+    fs_out[F_PB] = pb
+    fs_out[F_PP] = pperp
+    fs_out[F_PHI] = phi
+    fs_out[F_UXP] = uxp
+    fs_out[F_XNP] = xnp
+    fs_out[F_TST] = tstep
+    fs_out[F_PRP] = prp
+    fs_out[F_XHI] = xhi
+    fs_out[F_XLO] = xlo
+    fs_out[F_ATHI] = athi
+    fs_out[F_ATLO] = atlo
+    is_out[I_STATUS] = status
+    is_out[I_REASON] = reason
+    is_out[I_NSTEPS] = nsteps
+    is_out[I_FLAGS] = flags
+    is_out[I_KEY0] = is_ref[I_KEY0]
+    is_out[I_KEY1] = is_ref[I_KEY1]
+    aux_out[A_ACTIVE:A_ACTIVE + 1, :] += jnp.sum(
+        (status == ACTIVE).astype(jnp.float32), axis=0, keepdims=True)
+
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
+
+def megakernel_ok(ss, p_dtype, psd_dtype) -> bool:
+    """Static gate: configs the megakernel supports (others take the
+    XLA helix_step path)."""
+    if os.environ.get("MCS_MEGAKERNEL", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return (ss.parallel and not ss.do_tcuts and ss.n_xspec == 0
+            and not ss.do_energy_transfer
+            and p_dtype == jnp.float32 and psd_dtype == jnp.float32
+            and ss.nb + 1 <= ZPAD)
+
+
+def _static_cfg(ss):
+    return dict(
+        eta_mfp=float(ss.eta_mfp),
+        xn_per_coarse=float(ss.xn_per_coarse),
+        xn_per_fine=float(ss.xn_per_fine),
+        dont_scatter=bool(ss.dont_scatter),
+        dont_dsa=bool(ss.dont_dsa),
+        do_rad_losses=bool(ss.do_rad_losses),
+        do_retro=bool(ss.do_retro),
+        use_custom_eps_b=bool(ss.use_custom_eps_b),
+        is_electron=bool(ss.is_electron),
+        has_age_max=True,    # age test gated by age_max <= 0 sentinel
+        nb=int(ss.nb),
+        i_grid_feb=int(ss.i_grid_feb),
+        psd_mom_min=float(ss.psd_mom_min),
+        bins_per_dec_mom=int(ss.bins_per_dec_mom),
+        n_mom=int(ss.n_mom),
+        cos_fine=float(ss.cos_fine),
+        dcos=float(ss.dcos),
+        theta_min=float(ss.theta_min),
+        bins_per_dec_theta=int(ss.bins_per_dec_theta),
+        n_theta=int(ss.n_theta),
+        # cost-attribution kills (scripts/probe_mega_cost.py); empty in
+        # production
+        prof_kill=os.environ.get("MCS_MEGA_KILL", ""),
+    )
+
+
+def _split3(v):
+    """3-way bf16 split of an f32 vector: v = hi + mid + lo exactly to
+    f32 precision, each part exactly representable in bf16."""
+    v = v.astype(jnp.float32)
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    r2 = r1 - mid.astype(jnp.float32)
+    lo = r2.astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, scvec, nb: int):
+    """Device-side prep of (scf [24] f32, xg [128,1] f32,
+    zs [128,32] bf16) — every host float()/np.asarray on a device
+    value is a full round trip through the remote-device tunnel
+    (~25 ms each; profiled at 630 ms/segment before this)."""
+    # grid sentinels are +-1e30 rg0 = ~1e40 cm: clamp into f32 range
+    # (positions never approach either value)
+    xgv = jnp.clip(x_grid[:nb], -3.0e38, 3.0e38).astype(jnp.float32)
+    xg = jnp.concatenate([xgv, jnp.full((128 - nb,), 3.0e38,
+                                        jnp.float32)])[:, None]
+    cols = []
+    parts = [_split3(f[:nb].astype(jnp.float32))
+             for f in (ux, gamma_sf, gamma_ef, btot)]
+    zpad = jnp.zeros((128 - nb,), jnp.bfloat16)
+    zcol = jnp.zeros((128,), jnp.bfloat16)
+    for p in range(3):
+        for f in range(4):
+            cols.append(jnp.concatenate([parts[f][p], zpad]))
+        cols.extend([zcol] * 4)
+    cols.extend([zcol] * 8)
+    zs = jnp.stack(cols, axis=1)                  # [128, 32]
+    scf = jnp.concatenate([
+        scvec,
+        btot[nb - 2:nb - 1].astype(jnp.float32),
+        gamma_sf[nb - 2:nb - 1].astype(jnp.float32),
+        gamma_ef[nb - 2:nb - 1].astype(jnp.float32),
+        ux[nb - 2:nb - 1].astype(jnp.float32),
+        jnp.zeros((2,), jnp.float32),
+    ])
+    return scf, xg, zs
+
+
+def _mega_scf(sc, grids, ss, seed: int):
+    """scf [24] f32 + xg + zs with NO host-device sync."""
+    age = jnp.where(sc.age_max > 0, sc.age_max, 3.0e38)
+    scvec = jnp.stack([
+        sc.m, sc.m * C_CGS, sc.m * C_CGS**2, 1.0 / sc.abs_charge,
+        sc.pcut, sc.pcut_prev, sc.pmax_cutoff, sc.u2, sc.bmag2,
+        sc.b_cmbz, sc.gamma0_u0, sc.feb_up, sc.feb_dw, sc.x_grid_stop,
+        age, sc.pe_crit, sc.gamma_e_crit, sc.inj_frac,
+    ]).astype(jnp.float32)
+    scf, xg, zs = _mega_prep(jnp.asarray(grids.x_grid),
+                             jnp.asarray(grids.ux),
+                             jnp.asarray(grids.gamma_sf),
+                             jnp.asarray(grids.gamma_ef),
+                             jnp.asarray(grids.btot),
+                             scvec, nb=int(ss.nb))
+    scf = scf.at[22].set(np.float32(seed))
+    return scf, xg, zs
+
+
+def pack_state(state):
+    """ParticleState -> (fs [NF, RT, 128] f32, is [NI, RT, 128] i32,
+    n_lanes).  Pads to a block multiple with FINISHED zero-weight
+    lanes."""
+    fs, is_ = _pack_core(state)
+    return fs, is_, state.weight.shape[0]
+
+
+@jax.jit
+def _pack_core(state):
+    b = state.weight.shape[0]
+    bl = _ROWS * LANE
+    pad = (-b) % bl
+    bt = b + pad
+
+    def pf(a, fill=0.0):
+        a = jnp.asarray(a, jnp.float32)
+        return jnp.pad(a, (0, pad), constant_values=fill)
+
+    x64 = state.x.astype(jnp.float64)
+    xhi = x64.astype(jnp.float32)
+    xlo = (x64 - xhi.astype(jnp.float64)).astype(jnp.float32)
+    at64 = state.acctime.astype(jnp.float64)
+    athi = at64.astype(jnp.float32)
+    atlo = (at64 - athi.astype(jnp.float64)).astype(jnp.float32)
+
+    fs = jnp.stack([
+        pf(state.weight), pf(state.pb), pf(state.pperp), pf(state.phi),
+        pf(state.ux_prev), pf(state.xn_per), pf(state.t_step),
+        pf(state.prp_x.astype(jnp.float32)), pf(xhi), pf(xlo),
+        pf(athi), pf(atlo),
+    ]).reshape(_NF, bt // LANE, LANE)
+
+    kd = jax.random.key_data(state.key).astype(jnp.uint32)
+    flags = (state.downstream.astype(jnp.int32) * FL_DW
+             | state.inj.astype(jnp.int32) * FL_INJ
+             | state.retro.astype(jnp.int32) * FL_RETRO
+             | state.just_returned.astype(jnp.int32) * FL_JRET)
+
+    def pi(a, fill=0):
+        a = jnp.asarray(a, jnp.int32)
+        return jnp.pad(a, (0, pad), constant_values=fill)
+
+    is_ = jnp.stack([
+        pi(state.status, FINISHED), pi(state.reason, st.R_DOWNSTREAM),
+        pi(state.nsteps), pi(flags),
+        pi(kd[:, 0].astype(jnp.int32)), pi(kd[:, 1].astype(jnp.int32)),
+    ]).reshape(_NI, bt // LANE, LANE)
+    return fs, is_
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def unpack_state(fs, is_, b, template):
+    """Inverse of pack_state (restores the ParticleState pytree)."""
+    def gf(k):
+        return fs[k].reshape(-1)[:b]
+
+    def gi(k):
+        return is_[k].reshape(-1)[:b]
+
+    x = gf(F_XHI).astype(jnp.float64) + gf(F_XLO).astype(jnp.float64)
+    at = gf(F_ATHI).astype(jnp.float64) + gf(F_ATLO).astype(jnp.float64)
+    flags = gi(I_FLAGS)
+    kd = jnp.stack([gi(I_KEY0), gi(I_KEY1)], axis=1).astype(jnp.uint32)
+    key = jax.random.wrap_key_data(kd, impl="threefry2x32")
+    xdt = template.x.dtype
+    # zone index from position (the kernel derives it each step)
+    return template._replace(
+        weight=gf(F_W), pb=gf(F_PB), pperp=gf(F_PP), phi=gf(F_PHI),
+        x=x.astype(xdt), ux_prev=gf(F_UXP), xn_per=gf(F_XNP),
+        t_step=gf(F_TST), prp_x=gf(F_PRP).astype(xdt),
+        acctime=at.astype(template.acctime.dtype),
+        status=gi(I_STATUS), reason=gi(I_REASON), nsteps=gi(I_NSTEPS),
+        downstream=(flags & FL_DW) != 0, inj=(flags & FL_INJ) != 0,
+        retro=(flags & FL_RETRO) != 0,
+        just_returned=(flags & FL_JRET) != 0,
+        key=key,
+    )
+
+
+def _partition_active(fs, is_, orig):
+    """Stable-partition lanes with status == ACTIVE to the front of
+    the flat lane axis (fs [NF, RT, 128], is_ [NI, RT, 128]).
+
+    Uses ONE multi-operand lax.sort carrying all state planes — a
+    column gather of [NF+NI, RT*128] lowers to a serial per-row loop
+    on TPU (~20 ms at 64k lanes), the bitonic sort is ~ms."""
+    key = (is_[I_STATUS].reshape(-1) != ACTIVE).astype(jnp.int32)
+    ops = ([key]
+           + [fs[k].reshape(-1) for k in range(_NF)]
+           + [is_[k].reshape(-1) for k in range(_NI)]
+           + [orig])
+    out = lax.sort(ops, num_keys=1, is_stable=True)
+    fs2 = jnp.stack(out[1:1 + _NF]).reshape(fs.shape)
+    is2 = jnp.stack(out[1 + _NF:1 + _NF + _NI]).reshape(is_.shape)
+    return fs2, is2, out[-1]
+
+
+_LAUNCH_CACHE = {}
+
+
+def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
+                interpret=False):
+    key = (cfg_key, band, n_cells_pad, n_blocks, n_steps, interpret)
+    if key in _LAUNCH_CACHE:
+        return _LAUNCH_CACHE[key]
+
+    kern = functools.partial(_mega_kernel, band=band,
+                             n_cells_pad=n_cells_pad,
+                             n_steps=n_steps, cfg=cfg)
+    rt = n_blocks * _ROWS
+
+    def launch(scf, fs, is_, xg, zs):
+        act = (jnp.max((is_[I_STATUS] == ACTIVE).astype(jnp.int32)
+                       .reshape(n_blocks, -1), axis=1))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((_NF, _ROWS, LANE),
+                             lambda i, s, a: (i - i, i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_NI, _ROWS, LANE),
+                             lambda i, s, a: (i - i, i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 1), lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 32), lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_NF, _ROWS, LANE),
+                             lambda i, s, a: (i - i, i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_NI, _ROWS, LANE),
+                             lambda i, s, a: (i - i, i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_cells_pad, ZPAD),
+                             lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_AUX, LANE),
+                             lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((band, ZPAD), jnp.float32)],
+        )
+        fs2, is2, psd_d, aux = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((_NF, rt, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((_NI, rt, LANE), jnp.int32),
+                jax.ShapeDtypeStruct((n_cells_pad, ZPAD), jnp.float32),
+                jax.ShapeDtypeStruct((N_AUX, LANE), jnp.float32),
+            ],
+            interpret=interpret,
+        )(scf, act, fs, is_, xg, zs)
+        n_active = jnp.sum(aux[A_ACTIVE]).astype(jnp.int32)
+        n_oob = jnp.sum(aux[A_OVERFLOW])
+        return fs2, is2, psd_d, aux, n_active, n_oob
+
+    max_launches = MAX_HELIX_STEPS // n_steps + 2
+
+    def drive(scf, fs, is_, xg, zs, orig):
+        """The whole drain in ONE device program: the per-dispatch
+        round trip through the remote device tunnel is ~25 ms, which
+        dominated a python-level launch loop."""
+        psd0 = jnp.zeros((n_cells_pad, ZPAD), jnp.float32)
+        aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
+        k0 = jnp.int32(0)
+        n0 = jnp.int32(1)
+        packed0 = jnp.int32(n_blocks * _ROWS * LANE)
+
+        def cond(c):
+            _, _, _, _, _, k, n_act, _ = c
+            return (n_act > 0) & (k < max_launches)
+
+        def body(c):
+            fs, is_, psd, aux, orig, k, _, packed = c
+            fs, is_, psd_d, aux_d, n_act, _ = launch(scf, fs, is_,
+                                                     xg, zs)
+            # partition active lanes to the front only when they have
+            # halved since the last partition: the multi-operand sort
+            # costs ~10 ms at 64k lanes, and between partitions the
+            # active set only shrinks IN PLACE (the per-block activity
+            # skip already ignores fully-drained blocks)
+            do_part = (n_act * 2 <= packed) & (n_act > 0)
+            fs, is_, orig = lax.cond(
+                do_part, _partition_active, lambda a, b, o: (a, b, o),
+                fs, is_, orig)
+            packed = jnp.where(do_part, n_act, packed)
+            return (fs, is_, psd + psd_d,
+                    aux + aux_d.astype(jnp.float64), orig,
+                    k + 1, n_act, packed)
+
+        fs, is_, psd, aux, orig, k, _, _ = lax.while_loop(
+            cond, body, (fs, is_, psd0, aux0, orig, k0, n0, packed0))
+        # restore original lane order by sorting on the carried slot
+        # index (gathers are serial on TPU; sort is vectorized)
+        ops = ([orig]
+               + [fs[j].reshape(-1) for j in range(_NF)]
+               + [is_[j].reshape(-1) for j in range(_NI)])
+        out = lax.sort(ops, num_keys=1, is_stable=True)
+        fs = jnp.stack(out[1:1 + _NF]).reshape(fs.shape)
+        is_ = jnp.stack(out[1 + _NF:]).reshape(is_.shape)
+        return fs, is_, psd, aux, k
+
+    f = jax.jit(drive, donate_argnums=(1, 2))
+    _LAUNCH_CACHE[key] = f
+    return f
+
+
+def run_segment_mega(state, tallies, grids, sc, ss,
+                     steps_per_launch: int = 0, seed: int = 0,
+                     interpret: bool = False):
+    """Drop-in replacement for ops.step.run_segment on supported
+    configs: advances all lanes to SAVED/FINISHED with the Pallas
+    megakernel, accumulating into `tallies`.
+
+    The launch loop runs at Python level (one device sync per
+    `steps_per_launch` steps) so overflow of the tally band can raise
+    loudly instead of silently dropping records."""
+    from .state import Tallies  # noqa: F401  (doc reference)
+
+    n_steps = steps_per_launch or _STEPS
+    cfg = _static_cfg(ss)
+    cfg_key = tuple(sorted(cfg.items()))
+    fs, is_, b = pack_state(state)
+    rt = fs.shape[1]
+    n_blocks = rt // _ROWS
+
+    n_cells = tallies.psd_diff.shape[0]
+    nzc = tallies.psd_diff.shape[1]
+    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+               -(-n_cells // 128) * 128)
+    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+
+    launch = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                         n_steps, interpret=interpret)
+
+    # all prep stays on device: a host float()/np.asarray of a device
+    # value costs a ~25 ms tunnel round trip (profiled)
+    scf, xg, zs = _mega_scf(sc, grids, ss, seed)
+    orig = jnp.arange(rt * LANE, dtype=jnp.int32)
+
+    fs, is_, psd_acc, aux_acc, _k = launch(scf, fs, is_, xg, zs, orig)
+    n_oob = float(jnp.sum(aux_acc[A_OVERFLOW]))
+    if n_oob > 0:
+        raise RuntimeError(
+            f"megakernel tally band overflow: {n_oob:.0f} "
+            f"crossing records fell outside the {band}-cell window; "
+            f"rerun with MCS_MEGA_BAND larger or MCS_MEGAKERNEL=0")
+
+    state_out = unpack_state(fs, is_, b, state)
+    # zone index is derived from position in-kernel; restore it for
+    # downstream consumers of the state pytree
+    ig = (jnp.searchsorted(jnp.asarray(grids.x_grid),
+                           state_out.x, side="right") - 1)
+    state_out = state_out._replace(
+        igrid=jnp.clip(ig, 0, ss.nb - 2).astype(jnp.int32))
+    aux_np = aux_acc
+    flux = aux_np[A_FLUX0:A_FLUX0 + 4, :nzc]
+    tallies = tallies._replace(
+        psd_diff=tallies.psd_diff
+        + psd_acc[:n_cells, :nzc].astype(tallies.psd_diff.dtype),
+        flux_diff=tallies.flux_diff + flux,
+        px_esc_up=tallies.px_esc_up + jnp.sum(aux_np[A_PX_ESC]),
+        en_esc_up=tallies.en_esc_up + jnp.sum(aux_np[A_EN_ESC]),
+        sum_p_dw=tallies.sum_p_dw + jnp.sum(aux_np[A_SUM_P]),
+        sum_ke_dw=tallies.sum_ke_dw + jnp.sum(aux_np[A_SUM_KE]),
+    )
+    return state_out, tallies

@@ -1,0 +1,142 @@
+"""Pallas transport megakernel (ops/pallas_step.py), interpret mode.
+
+The megakernel re-implements ops/step.helix_step inside one Mosaic
+kernel with a different (but equally principled) threefry stream, so
+validation is STATISTICAL against the XLA path on the same population:
+status mix, step totals, and every tally channel must agree within MC
+tolerance.  Deterministic sub-pieces (threefry, double-single
+arithmetic, packing round-trip) are checked exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from montecarloscattering_jl_tpu.ops import pallas_step as ps
+
+
+class TestPrimitives:
+    def test_threefry_matches_jax_reference(self):
+        """_threefry2x32 == jax's own Threefry-2x32 PRF."""
+        from jax._src.prng import threefry_2x32
+        rng = np.random.default_rng(0)
+        k = rng.integers(0, 2**32, (2, 64), dtype=np.uint32)
+        c = rng.integers(0, 2**32, (2, 64), dtype=np.uint32)
+        want = np.asarray(threefry_2x32(
+            jnp.asarray(k), jnp.asarray(c))).reshape(2, 64)
+        got0, got1 = ps._threefry2x32(
+            jnp.asarray(k[0]), jnp.asarray(k[1]),
+            jnp.asarray(c[0]), jnp.asarray(c[1]))
+        np.testing.assert_array_equal(np.asarray(got0), want[0])
+        np.testing.assert_array_equal(np.asarray(got1), want[1])
+
+    def test_ds_add_tracks_f64(self):
+        """Double-single accumulation stays within ~2^-45 relative of
+        f64 over 10k heterogeneous increments."""
+        rng = np.random.default_rng(1)
+        incs = (rng.standard_normal(10_000) * 10.0 ** rng.integers(
+            -4, 4, 10_000)).astype(np.float32)
+        hi = jnp.asarray(np.float32(1.0e8))[None]
+        lo = jnp.zeros(1, jnp.float32)
+        ref = np.float64(1.0e8)
+        for v in incs:
+            hi, lo = ps._ds_add(hi, lo, jnp.asarray(v)[None])
+            ref += np.float64(v)
+        got = float(hi[0]) + float(lo[0])
+        assert abs(got - ref) / abs(ref) < 3e-13
+
+    def test_pack_unpack_roundtrip(self):
+        import __graft_entry__ as ge
+        setup, state, tal, grids, sc, ss = ge._build(
+            batch=300, p_dtype=jnp.float32)
+        fs, is_, b = ps.pack_state(state)
+        assert b == 300
+        back = ps.unpack_state(fs, is_, b, state)
+        for name in state._fields:
+            if name in ("igrid",):   # derived from x by the wrapper
+                continue
+            if name == "key":
+                a = np.asarray(jax.random.key_data(getattr(state, name)))
+                bb = np.asarray(jax.random.key_data(getattr(back, name)))
+            else:
+                a = np.asarray(getattr(state, name))
+                bb = np.asarray(getattr(back, name))
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(bb, a, rtol=1e-6, atol=0.0,
+                                           err_msg=name)
+            else:
+                np.testing.assert_array_equal(bb, a, err_msg=name)
+
+
+class TestMegaSegmentStatistical:
+    """Full drain of the DSA test population: megakernel (interpret)
+    vs the XLA run_segment, statistical agreement."""
+
+    @pytest.fixture(scope="class")
+    def runs(self):
+        import __graft_entry__ as ge
+        from montecarloscattering_jl_tpu.ops import state as stt
+        from montecarloscattering_jl_tpu.ops import step as stp
+        B = 1024
+        setup, state, tal, grids, sc, ss = ge._build(
+            batch=B, p_dtype=jnp.float32)
+        s1, t1 = stp.run_segment(state, tal, grids, sc, ss, 0)
+        f1 = stt.finalize_tallies(t1)
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=512,
+                                     interpret=True)
+        f2 = stt.finalize_tallies(t2)
+        return s1, f1, s2, f2
+
+    def test_all_lanes_drained(self, runs):
+        s1, _, s2, _ = runs
+        assert not (np.asarray(s2.status) == 0).any()
+
+    def test_status_mix(self, runs):
+        s1, _, s2, _ = runs
+        c1 = np.bincount(np.asarray(s1.status), minlength=3)
+        c2 = np.bincount(np.asarray(s2.status), minlength=3)
+        # SAVED counts are small Poisson; FINISHED dominate
+        assert abs(c1[2] - c2[2]) < 6 * np.sqrt(max(c1[1], c2[1], 4))
+
+    def test_step_totals(self, runs):
+        s1, _, s2, _ = runs
+        n1 = int(np.asarray(s1.nsteps, np.int64).sum())
+        n2 = int(np.asarray(s2.nsteps, np.int64).sum())
+        assert abs(n1 - n2) / n1 < 0.15
+
+    @pytest.mark.parametrize("field", ["psd", "therm_psd", "pxx_flux",
+                                       "energy_flux", "num_crossings"])
+    def test_tally_totals(self, runs, field):
+        _, f1, _, f2 = runs
+        a = float(np.asarray(getattr(f1, field), np.float64).sum())
+        b = float(np.asarray(getattr(f2, field), np.float64).sum())
+        assert a != 0
+        # tolerances reflect MC noise at B=1024 with INDEPENDENT RNG
+        # streams: the CR psd total is dominated by 1/vx spike-clamped
+        # records of the few injected lanes, and the net fluxes sit on
+        # large cancellations.  The on-chip 64k-lane comparison pins
+        # every channel at the 0.2-3% level (√N-consistent;
+        # scripts/validate_megakernel.py).
+        tol = {"psd": 0.5, "pxx_flux": 0.5, "energy_flux": 0.5}.get(
+            field, 0.15)
+        assert abs(b / a - 1.0) < tol, (field, a, b)
+
+    def test_spectrum_shape(self, runs):
+        # B=1024 leaves ~20 injected lanes behind the CR spectrum, so
+        # per-bin ratios between the two independent streams are
+        # heavy-tailed; the on-chip 64k comparison pins the shape at
+        # rms 0.054 (scripts/validate_megakernel.py).  Here: same
+        # support and no bin off by more than e.
+        _, f1, _, f2 = runs
+        pa = np.asarray(f1.psd, np.float64).sum(axis=(1, 2))
+        pb = np.asarray(f2.psd, np.float64).sum(axis=(1, 2))
+        sel = pa > pa.max() * 3e-2
+        r = pb[sel] / pa[sel]
+        assert np.abs(np.log(r)).max() < 1.0, r
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
