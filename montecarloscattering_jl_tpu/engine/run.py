@@ -312,14 +312,41 @@ class TransportEngine:
                                    self.psd_dtype, batch=block,
                                    chunk=self.tally_chunk,
                                    p_dtype=self.p_dtype)
-            if n_blocks == 1:
-                state, tal, esc, n_new, nsteps = run_ion_fused_jit(
-                    state, tal, esc, grids, sc, ss,
-                    pcuts, pcut_prevs, n_targets, seg_keys,
+            from ..ops import pallas_step as pstep
+            # the megakernel-inside-scan ladder is correct but (as of
+            # this round) slower end-to-end than the XLA fused ladder:
+            # the 45-segment scan program re-compiles through the
+            # remote relay and its in-scan drive underperforms the
+            # standalone bench drive (2-iter flagship 131 s XLA vs
+            # ~950 s mega).  Keep it opt-in until profiled.
+            use_mega = (pstep.megakernel_ok(ss, self.p_dtype,
+                                            self.psd_dtype)
+                        and os.environ.get("MCS_MEGA_FUSED", "0") == "1")
+
+            def run_block(st_b, tal, esc, targets, keys_b):
+                if use_mega:
+                    st_b, tal, esc, n_new_b, nsteps_b, oob = (
+                        pstep.run_ion_fused_mega_jit(
+                            st_b, tal, esc, grids, sc, ss,
+                            pcuts, pcut_prevs, targets, keys_b))
+                    if float(oob) > 0:
+                        raise RuntimeError(
+                            f"megakernel tally band overflow: "
+                            f"{float(oob):.0f} records; raise "
+                            f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
+                    return st_b, tal, esc, n_new_b, nsteps_b
+                return run_ion_fused_jit(
+                    st_b, tal, esc, grids, sc, ss,
+                    pcuts, pcut_prevs, targets, keys_b,
                     compact_levels=lv)
+
+            if n_blocks == 1:
+                state, tal, esc, n_new, nsteps = run_block(
+                    state, tal, esc, n_targets, seg_keys)
             else:
-                log.info("fused ladder in %d blocks of %d lanes",
-                         n_blocks, block)
+                log.info("fused ladder in %d blocks of %d lanes%s",
+                         n_blocks, block,
+                         " (megakernel)" if use_mega else "")
                 block_targets = jnp.maximum(n_targets // n_blocks, 1)
                 n_new = jnp.zeros(n_pcuts, jnp.int64)
                 nsteps = jnp.zeros(n_pcuts, jnp.uint64)
@@ -329,11 +356,8 @@ class TransportEngine:
                     keys_b = jax.vmap(jax.random.fold_in,
                                       in_axes=(0, None))(
                         seg_keys, jnp.uint32(ib))
-                    st_b, tal, esc, n_new_b, nsteps_b = (
-                        run_ion_fused_jit(
-                            st_b, tal, esc, grids, sc, ss,
-                            pcuts, pcut_prevs, block_targets, keys_b,
-                            compact_levels=lv))
+                    st_b, tal, esc, n_new_b, nsteps_b = run_block(
+                        st_b, tal, esc, block_targets, keys_b)
                     n_new = n_new + n_new_b.astype(jnp.int64)
                     nsteps = nsteps + nsteps_b
             fin = stt.finalize_tallies(tal)

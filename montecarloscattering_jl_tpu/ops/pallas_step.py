@@ -854,11 +854,12 @@ def _split3(v):
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
-def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, scvec, nb: int):
-    """Device-side prep of (scf [24] f32, xg [128,1] f32,
-    zs [128,32] bf16) — every host float()/np.asarray on a device
-    value is a full round trip through the remote-device tunnel
-    (~25 ms each; profiled at 630 ms/segment before this)."""
+def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, nb: int):
+    """Device-side prep of (xg [128,1] f32, zs [128,32] bf16,
+    tail [4] f32 downstream-zone scalars) — every host
+    float()/np.asarray on a device value is a full round trip through
+    the remote-device tunnel (~25 ms each; profiled at
+    630 ms/segment before this)."""
     # grid sentinels are +-1e30 rg0 = ~1e40 cm: clamp into f32 range
     # (positions never approach either value)
     xgv = jnp.clip(x_grid[:nb], -3.0e38, 3.0e38).astype(jnp.float32)
@@ -875,33 +876,37 @@ def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, scvec, nb: int):
         cols.extend([zcol] * 4)
     cols.extend([zcol] * 8)
     zs = jnp.stack(cols, axis=1)                  # [128, 32]
-    scf = jnp.concatenate([
-        scvec,
+    tail = jnp.concatenate([
         btot[nb - 2:nb - 1].astype(jnp.float32),
         gamma_sf[nb - 2:nb - 1].astype(jnp.float32),
         gamma_ef[nb - 2:nb - 1].astype(jnp.float32),
         ux[nb - 2:nb - 1].astype(jnp.float32),
-        jnp.zeros((2,), jnp.float32),
     ])
-    return scf, xg, zs
+    return xg, zs, tail
 
 
-def _mega_scf(sc, grids, ss, seed: int):
-    """scf [24] f32 + xg + zs with NO host-device sync."""
+def _scvec(sc):
+    """[18] f32 of the per-segment scalars (all traced jnp — no host
+    sync)."""
     age = jnp.where(sc.age_max > 0, sc.age_max, 3.0e38)
-    scvec = jnp.stack([
+    return jnp.stack([
         sc.m, sc.m * C_CGS, sc.m * C_CGS**2, 1.0 / sc.abs_charge,
         sc.pcut, sc.pcut_prev, sc.pmax_cutoff, sc.u2, sc.bmag2,
         sc.b_cmbz, sc.gamma0_u0, sc.feb_up, sc.feb_dw, sc.x_grid_stop,
         age, sc.pe_crit, sc.gamma_e_crit, sc.inj_frac,
     ]).astype(jnp.float32)
-    scf, xg, zs = _mega_prep(jnp.asarray(grids.x_grid),
-                             jnp.asarray(grids.ux),
-                             jnp.asarray(grids.gamma_sf),
-                             jnp.asarray(grids.gamma_ef),
-                             jnp.asarray(grids.btot),
-                             scvec, nb=int(ss.nb))
-    scf = scf.at[22].set(np.float32(seed))
+
+
+def _mega_scf(sc, grids, ss, seed: int):
+    """scf [24] f32 + xg + zs with NO host-device sync."""
+    xg, zs, tail = _mega_prep(jnp.asarray(grids.x_grid),
+                              jnp.asarray(grids.ux),
+                              jnp.asarray(grids.gamma_sf),
+                              jnp.asarray(grids.gamma_ef),
+                              jnp.asarray(grids.btot), nb=int(ss.nb))
+    scf = jnp.concatenate([
+        _scvec(sc), tail,
+        jnp.asarray([float(seed), 0.0], jnp.float32)])
     return scf, xg, zs
 
 
@@ -1113,8 +1118,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         return fs, is_, psd, aux, k
 
     f = jax.jit(drive, donate_argnums=(1, 2))
-    _LAUNCH_CACHE[key] = f
-    return f
+    _LAUNCH_CACHE[key] = (f, drive)
+    return f, drive
 
 
 def run_segment_mega(state, tallies, grids, sc, ss,
@@ -1142,8 +1147,8 @@ def run_segment_mega(state, tallies, grids, sc, ss,
                -(-n_cells // 128) * 128)
     n_cells_pad = -(-max(n_cells, band) // 128) * 128
 
-    launch = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
-                         n_steps, interpret=interpret)
+    launch, _ = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                            n_steps, interpret=interpret)
 
     # all prep stays on device: a host float()/np.asarray of a device
     # value costs a ~25 ms tunnel round trip (profiled)
@@ -1177,3 +1182,99 @@ def run_segment_mega(state, tallies, grids, sc, ss,
         sum_ke_dw=tallies.sum_ke_dw + jnp.sum(aux_np[A_SUM_KE]),
     )
     return state_out, tallies
+
+# ---------------------------------------------------------------------------
+# fused ion ladder with the megakernel segment (trace-level API)
+# ---------------------------------------------------------------------------
+
+def mega_segment_traced(st, tl, x_grid, xg, zs, tail, seed_f, sc, ss,
+                        band: int, n_cells_pad: int, n_steps: int,
+                        interpret: bool = False):
+    """One pcut segment with the megakernel, as a PURE traced function
+    (usable inside lax.scan — no jit boundary, no host sync).
+
+    Returns (state', tallies', oob_count).  The caller must check the
+    accumulated oob count after the enclosing jit returns."""
+    cfg = _static_cfg(ss)
+    cfg_key = tuple(sorted(cfg.items()))
+    fs, is_ = _pack_core(st)
+    b = st.weight.shape[0]
+    rt = fs.shape[1]
+    n_blocks = rt // _ROWS
+    _, drive = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                           n_steps, interpret=interpret)
+    scf = jnp.concatenate([_scvec(sc), tail,
+                           jnp.stack([seed_f,
+                                      jnp.float32(0.0)])])
+    orig = jnp.arange(rt * LANE, dtype=jnp.int32)
+    fs, is_, psd_acc, aux_acc, _k = drive(scf, fs, is_, xg, zs, orig)
+
+    st2 = unpack_state(fs, is_, b, st)
+    ig = (jnp.searchsorted(x_grid, st2.x, side="right") - 1)
+    st2 = st2._replace(
+        igrid=jnp.clip(ig, 0, ss.nb - 2).astype(jnp.int32))
+
+    n_cells = tl.psd_diff.shape[0]
+    nzc = tl.psd_diff.shape[1]
+    aux64 = aux_acc.astype(jnp.float64)
+    tl = tl._replace(
+        psd_diff=tl.psd_diff
+        + psd_acc[:n_cells, :nzc].astype(tl.psd_diff.dtype),
+        flux_diff=tl.flux_diff + aux64[A_FLUX0:A_FLUX0 + 4, :nzc],
+        px_esc_up=tl.px_esc_up + jnp.sum(aux64[A_PX_ESC]),
+        en_esc_up=tl.en_esc_up + jnp.sum(aux64[A_EN_ESC]),
+        sum_p_dw=tl.sum_p_dw + jnp.sum(aux64[A_SUM_P]),
+        sum_ke_dw=tl.sum_ke_dw + jnp.sum(aux64[A_SUM_KE]),
+    )
+    oob = jnp.sum(aux_acc[A_OVERFLOW]).astype(jnp.float64)
+    return st2, tl, oob
+
+
+def run_ion_fused_mega(state, tallies, esc, grids, sc, ss,
+                       pcuts, pcut_prevs, n_targets, seg_keys,
+                       band: int = 0, n_steps: int = 0,
+                       interpret: bool = False):
+    """The fused pcut ladder (ops/fused_ion.run_ion_fused) with the
+    megakernel as the transport segment: one device program transports
+    a species through every splitting level, each segment running the
+    Pallas drive.  Returns (state, tallies, esc, n_new, nsteps, oob)."""
+    from .finish import finish_particles
+    from .fused_ion import split_on_device
+
+    n_cells = tallies.psd_diff.shape[0]
+    band = band or min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+                       -(-n_cells // 128) * 128)
+    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+    n_steps = n_steps or _STEPS
+
+    xg, zs, tail = _mega_prep(jnp.asarray(grids.x_grid),
+                              jnp.asarray(grids.ux),
+                              jnp.asarray(grids.gamma_sf),
+                              jnp.asarray(grids.gamma_ef),
+                              jnp.asarray(grids.btot), nb=int(ss.nb))
+    x_grid = jnp.asarray(grids.x_grid)
+
+    def body(carry, xs):
+        st, tl, es, oob = carry
+        pcut, pcut_prev, n_target, key, iseg = xs
+        sci = sc._replace(pcut=pcut, pcut_prev=pcut_prev)
+        st, tl, oob_d = mega_segment_traced(
+            st, tl, x_grid, xg, zs, tail, iseg.astype(jnp.float32),
+            sci, ss, band, n_cells_pad, n_steps, interpret=interpret)
+        es = finish_particles(st, es, grids, sci, ss)
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))
+        st, n_new = split_on_device(st, n_target, key)
+        return (st, tl, es, oob + oob_d), (n_new, nsteps)
+
+    n_seg = pcuts.shape[0]
+    (state, tallies, esc, oob), (n_new, nsteps) = lax.scan(
+        body, (state, tallies, esc, jnp.zeros((), jnp.float64)),
+        (pcuts, pcut_prevs, n_targets, seg_keys,
+         jnp.arange(1, n_seg + 1, dtype=jnp.int32)))
+    return state, tallies, esc, n_new, nsteps, oob
+
+
+run_ion_fused_mega_jit = jax.jit(
+    run_ion_fused_mega,
+    static_argnames=("ss", "band", "n_steps", "interpret"),
+    donate_argnums=(0, 1, 2))
