@@ -143,6 +143,50 @@ def main() -> None:
         if pushes / dt > drain_rate:
             drain_rate, drain_pushes = pushes / dt, pushes
 
+    # ---- full pcut-ladder rate (transport + splits + escape binning) -------
+    # the sustained number a production species pass sees: every pcut
+    # segment of the config, on-device splitting between segments
+    ladder_rate = 0.0
+    if use_mega:
+        from montecarloscattering_jl_tpu.ops.finish import EscapeTallies
+        pcuts_h = np.asarray(cfg.pcuts, np.float64)
+        prevs_h = np.concatenate([[0.0], pcuts_h[:-1]])
+        targets_h = np.full(len(pcuts_h), DRAIN_BATCH, np.int64)
+        keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+            jax.random.key(11),
+            jnp.arange(1, len(pcuts_h) + 1, dtype=jnp.uint32))
+
+        def ladder(seed):
+            esc = EscapeTallies.zeros(setup.bins.n_mom,
+                                      setup.bins.n_theta)
+            out = pstep.run_ion_mega_hybrid(
+                fresh(seed, DRAIN_BATCH), fresh_tal(DRAIN_BATCH), esc,
+                grids, sc, ss, pcuts_h, prevs_h, targets_h, keys)
+            return int(np.asarray(out[4], np.uint64).sum())
+
+        ladder(0)                        # compile + warm
+        for i in range(2):
+            t0 = time.time()
+            pushes = ladder(i + 1)
+            dt = time.time() - t0
+            ladder_rate = max(ladder_rate, pushes / dt)
+
+    # ---- roofline / MFU accounting (honest framing) ------------------------
+    # Effective arithmetic is ~320 FLOPs/push (transforms + scattering
+    # trig + movement + escape tests, hand-counted from the kernel) —
+    # MC transport is intrinsically low-intensity, so effective MFU is
+    # << 1% BY CONSTRUCTION; the work the MXU actually executes is the
+    # one-hot band contraction at band x 128 MACs per crossing record
+    # plus the zone-field gather (128 x 32 per lane-step), and THAT
+    # utilization is the number that says whether the kernel is at its
+    # structural roofline.
+    band = 2048
+    peak_bf16 = 1.97e14     # TPU v5e per-chip peak (bf16 MXU FLOP/s)
+    eff_flops_per_push = 320.0
+    struct_macs_per_push = band * 128 + 128 * 32 * 2
+    best = max(drain_rate, ladder_rate)
+    eff_flops = best * eff_flops_per_push
+    struct_flops = best * struct_macs_per_push * 2
     print(json.dumps({
         "metric": "drain_to_empty_pushes_per_sec_per_chip",
         "value": round(drain_rate, 1),
@@ -152,8 +196,14 @@ def main() -> None:
         "kernel_window_batch": BATCH,
         "drain_batch": DRAIN_BATCH,
         "drain_pushes": drain_pushes,
+        "ladder_pushes_per_sec": round(ladder_rate, 1),
+        "n_pcuts": len(cfg.pcuts),
         "compact_levels": levels,
         "drain_engine": "megakernel" if use_mega else "xla",
+        "effective_flops": round(eff_flops, 1),
+        "mfu_effective": round(eff_flops / peak_bf16, 6),
+        "structural_onehot_flops": round(struct_flops, 1),
+        "mxu_structural_utilization": round(struct_flops / peak_bf16, 4),
     }))
 
 

@@ -127,18 +127,40 @@ class TransportEngine:
     def _segment_runner(self, ss):
         """Plain or sharded segment executor for a static config."""
         lv = self.compact_levels
+        from ..ops import pallas_step as pstep
         if self.mesh is None or self.mesh.size <= 1:
-            from ..ops import pallas_step as pstep
             if pstep.megakernel_ok(ss, self.p_dtype, self.psd_dtype):
                 return (lambda st, tl, gr, sc, _ss:
                         pstep.run_segment_mega(st, tl, gr, sc, _ss))
             return (lambda st, tl, gr, sc, _ss:
                     stp.run_segment_jit(st, tl, gr, sc, _ss, lv))
         if ss not in self._sharded_seg:
-            from ..parallel.shard import sharded_run_segment
-            f = sharded_run_segment(self.mesh, ss, compact_levels=lv)
-            self._sharded_seg[ss] = lambda st, tl, gr, sc, _ss: f(
-                st, tl, gr, sc)
+            shard_lanes = self.batch_size // self.mesh.size
+            block = pstep._ROWS * pstep.LANE
+            if (pstep.megakernel_ok(ss, self.p_dtype, self.psd_dtype)
+                    and shard_lanes % block == 0
+                    and os.environ.get("MCS_MESH_MEGA", "1") == "1"):
+                from ..parallel.shard import sharded_segment_mega
+                nb = self.setup.nb
+                b = self.setup.bins
+                n_cells = (b.n_mom + 1) * 2 * (b.n_theta + 1)
+                f = sharded_segment_mega(self.mesh, ss, n_cells)
+
+                def run_mesh_mega(st, tl, gr, sc, _ss, _f=f):
+                    st, tl, oob = _f(st, tl, gr, sc, jnp.float32(1.0))
+                    if float(oob) > 0:
+                        raise RuntimeError(
+                            "megakernel tally band overflow under the "
+                            "mesh; raise MCS_MEGA_BAND or set "
+                            "MCS_MESH_MEGA=0")
+                    return st, tl
+                self._sharded_seg[ss] = run_mesh_mega
+            else:
+                from ..parallel.shard import sharded_run_segment
+                f = sharded_run_segment(self.mesh, ss,
+                                        compact_levels=lv)
+                self._sharded_seg[ss] = lambda st, tl, gr, sc, _ss: f(
+                    st, tl, gr, sc)
         return self._sharded_seg[ss]
 
     # -- per-segment input builders -----------------------------------------
@@ -202,6 +224,9 @@ class TransportEngine:
                                     self.psd_dtype),
             eta_mfp=cfg.eta_mfp, xn_per_coarse=cfg.xn_per_coarse,
             xn_per_fine=cfg.xn_per_fine, dont_scatter=cfg.dont_scatter,
+            frg_alpha=(cfg.frg_alpha if cfg.use_custom_frg else 1.0),
+            frg_rg0_cm=(cfg.frg_rg0_rg * cfg.rg0
+                        if cfg.use_custom_frg else 0.0),
             dont_dsa=cfg.dont_dsa, do_rad_losses=cfg.do_rad_losses,
             do_retro=cfg.do_retro, do_tcuts=cfg.do_tcuts,
             use_custom_eps_b=cfg.use_custom_eps_b,
@@ -269,30 +294,26 @@ class TransportEngine:
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
 
-        # The fused ladder crashes the TPU runtime when a fused scan
-        # touches >= 128k lanes in one program (worker "kernel fault",
-        # reproducible — scripts/repro_fused_128k.py: whole-batch,
-        # lax.map-blocked, donation on/off all fault; <= 64k is solid).
-        # Above MCS_FUSED_MAX_BATCH the SAME ladder runs over <= 64k
-        # lane blocks as SEPARATE device calls (one compile, n_blocks
-        # dispatches per species — still ~45x fewer round trips than
-        # host splitting).
-        fused_max = int(os.environ.get("MCS_FUSED_MAX_BATCH", 65536))
-        n_blocks = 1
-        if self.fused and self.batch_size > fused_max:
-            n_blocks = -(-self.batch_size // fused_max)
-            while (self.batch_size % n_blocks != 0
-                   or (self.batch_size // n_blocks) % 128 != 0):
-                n_blocks += 1
-                if n_blocks > self.batch_size // 128:
-                    n_blocks = 0   # no usable blocking: host path
-                    break
-        if (self.fused and n_blocks >= 1
-                and (self.mesh is None or self.mesh.size <= 1)):
-            # one device program for the whole pcut ladder: on-device
-            # splitting inside a lax.scan (ops/fused_ion.py) kills the
-            # 45 host round trips of the loop below
-            from ..ops.fused_ion import run_ion_fused_jit
+        if self.fused and (self.mesh is None or self.mesh.size <= 1):
+            # Fused ladders: on-device splitting between segments
+            # (ops/fused_ion.py) kills the ~45 host round trips of the
+            # per-pcut loop below.  Engine selection:
+            #   * megakernel hybrid (default on TPU for supported
+            #     configs): host loop of one jitted
+            #     [drain -> finish -> split] program per pcut — each
+            #     drain runs the same program shape as the standalone
+            #     bench drive (measured 172.6 M pushes/s vs 44.3 M for
+            #     the XLA scan at 65k lanes; scripts/probe_mega_hybrid)
+            #   * XLA lax.scan ladder for <= MCS_FUSED_MAX_BATCH lanes
+            #     (single device program, zero per-pcut dispatches)
+            #   * XLA hybrid above that: the 45-segment scan program
+            #     faults the TPU runtime at >= 128k lanes
+            #     (scripts/repro_fused_128k.py), while single-segment
+            #     programs are solid at 262k — so the big-batch path
+            #     simply never builds the scan program.
+            from ..ops import pallas_step as pstep
+            from ..ops.fused_ion import (run_ion_fused_jit,
+                                         run_ion_xla_hybrid)
             n_pcuts = len(cfg.pcuts)
             pcuts = jnp.asarray(cfg.pcuts, self.p_dtype)
             pcut_prevs = jnp.asarray(
@@ -303,63 +324,57 @@ class TransportEngine:
             seg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
                 ion_key, jnp.arange(1, n_pcuts + 1, dtype=jnp.uint32))
             sc = self.segment_scalars(i_ion, 0, prof.bmag2)
-            block = self.batch_size // n_blocks
             lv = self.compact_levels
-            while lv > 0 and (block >> lv) < 4096:
-                lv -= 1
             tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
                                    len(cfg.x_spec), self.n_tcut_slots,
-                                   self.psd_dtype, batch=block,
+                                   self.psd_dtype, batch=self.batch_size,
                                    chunk=self.tally_chunk,
                                    p_dtype=self.p_dtype)
-            from ..ops import pallas_step as pstep
-            # the megakernel-inside-scan ladder is correct but (as of
-            # this round) slower end-to-end than the XLA fused ladder:
-            # the 45-segment scan program re-compiles through the
-            # remote relay and its in-scan drive underperforms the
-            # standalone bench drive (2-iter flagship 131 s XLA vs
-            # ~950 s mega).  Keep it opt-in until profiled.
+            # MCS_MEGA_FUSED: "1" (default) = hybrid mega ladder;
+            # "scan" = whole-ladder-in-one-scan variant (comparison
+            # only; ~7x slower e2e through the remote relay); "0" =
+            # XLA ladder.
+            mega_mode = os.environ.get("MCS_MEGA_FUSED", "1")
             use_mega = (pstep.megakernel_ok(ss, self.p_dtype,
                                             self.psd_dtype)
-                        and os.environ.get("MCS_MEGA_FUSED", "0") == "1")
+                        and mega_mode != "0")
+            fused_max = int(os.environ.get("MCS_FUSED_MAX_BATCH",
+                                           65536))
 
-            def run_block(st_b, tal, esc, targets, keys_b):
-                if use_mega:
-                    st_b, tal, esc, n_new_b, nsteps_b, oob = (
-                        pstep.run_ion_fused_mega_jit(
-                            st_b, tal, esc, grids, sc, ss,
-                            pcuts, pcut_prevs, targets, keys_b))
-                    if float(oob) > 0:
-                        raise RuntimeError(
-                            f"megakernel tally band overflow: "
-                            f"{float(oob):.0f} records; raise "
-                            f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
-                    return st_b, tal, esc, n_new_b, nsteps_b
-                return run_ion_fused_jit(
-                    st_b, tal, esc, grids, sc, ss,
-                    pcuts, pcut_prevs, targets, keys_b,
+            if use_mega and mega_mode != "scan":
+                state, tal, esc, n_new, nsteps, oob = (
+                    pstep.run_ion_mega_hybrid(
+                        state, tal, esc, grids, sc, ss,
+                        np.asarray(cfg.pcuts),
+                        np.concatenate([[0.0], cfg.pcuts[:-1]]),
+                        np.asarray(n_targets), seg_keys))
+                if float(oob) > 0:
+                    raise RuntimeError(
+                        f"megakernel tally band overflow: "
+                        f"{float(oob):.0f} records; raise "
+                        f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
+            elif use_mega:   # mega_mode == "scan"
+                state, tal, esc, n_new, nsteps, oob = (
+                    pstep.run_ion_fused_mega_jit(
+                        state, tal, esc, grids, sc, ss,
+                        pcuts, pcut_prevs, n_targets, seg_keys))
+                if float(oob) > 0:
+                    raise RuntimeError(
+                        f"megakernel tally band overflow: "
+                        f"{float(oob):.0f} records; raise "
+                        f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
+            elif self.batch_size <= fused_max:
+                state, tal, esc, n_new, nsteps = run_ion_fused_jit(
+                    state, tal, esc, grids, sc, ss,
+                    pcuts, pcut_prevs, n_targets, seg_keys,
                     compact_levels=lv)
-
-            if n_blocks == 1:
-                state, tal, esc, n_new, nsteps = run_block(
-                    state, tal, esc, n_targets, seg_keys)
             else:
-                log.info("fused ladder in %d blocks of %d lanes%s",
-                         n_blocks, block,
-                         " (megakernel)" if use_mega else "")
-                block_targets = jnp.maximum(n_targets // n_blocks, 1)
-                n_new = jnp.zeros(n_pcuts, jnp.int64)
-                nsteps = jnp.zeros(n_pcuts, jnp.uint64)
-                for ib in range(n_blocks):
-                    st_b = jax.tree.map(
-                        lambda a: a[ib * block:(ib + 1) * block], state)
-                    keys_b = jax.vmap(jax.random.fold_in,
-                                      in_axes=(0, None))(
-                        seg_keys, jnp.uint32(ib))
-                    st_b, tal, esc, n_new_b, nsteps_b = run_block(
-                        st_b, tal, esc, block_targets, keys_b)
-                    n_new = n_new + n_new_b.astype(jnp.int64)
-                    nsteps = nsteps + nsteps_b
+                state, tal, esc, n_new, nsteps = run_ion_xla_hybrid(
+                    state, tal, esc, grids, sc, ss,
+                    np.asarray(cfg.pcuts),
+                    np.concatenate([[0.0], cfg.pcuts[:-1]]),
+                    np.asarray(n_targets), seg_keys,
+                    compact_levels=lv)
             fin = stt.finalize_tallies(tal)
             it.pxx_flux += np.asarray(fin.pxx_flux)
             it.pxz_flux += np.asarray(fin.pxz_flux)

@@ -36,6 +36,14 @@ EG_IC_MIN_MEV = 1.0e-2
 N_COS_BINS = 180   # Doppler-shift angle resolution (get_summed:111)
 
 
+def jnp_f64(a):
+    """Device array in f64 (emission runs in full precision — it is
+    ~1 s of a 140 s SED run; parity with the NumPy oracle matters more
+    than emulated-f64 speed on TPU)."""
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(a), jnp.float64)
+
+
 def _n_photon(emin, emax):
     return int(math.log10(emax / emin) * BINS_PER_DEC_PHOTON)
 
@@ -188,6 +196,90 @@ def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
     zones = range(int(ends[0]), int(ends[-1]))
     aa_ion = [s.aa for s in cfg.species]
     n0_ion = [s.number_density for s in cfg.species]
+
+    import os as _os
+    use_device = _os.environ.get("MCS_EMISSION_DEVICE", "1") == "1"
+    if use_device:
+        # Device path (SURVEY §7 "vmapped spectral integral kernels"):
+        # the (particle-bin x photon-bin) kernels are zone-independent
+        # for pion and IC, so each process is one batched matmul over
+        # all zones (models/emission/device.py); the NumPy loop below
+        # is the oracle (tests/test_device_emission.py).
+        from .device import (cone_cut_counts, doppler_shift_device,
+                             ic_grid_device, pion_grid_device,
+                             synch_grid_device)
+        from .inverse_compton import cmb_photon_field
+        from .pion import heavy_nuclei_scaling
+        zs = slice(int(ends[0]), int(ends[-1]))
+        nz = zs.stop - zs.start
+        gb_loc = np.sqrt(np.maximum(prof.gamma_sf[zs] ** 2 - 1.0,
+                                    1e-30))
+        target_z = n0_ion[0] * cfg.gamma0 * cfg.beta0 / gb_loc
+        for i_ion, fi in enumerate(ion_finals):
+            s = cfg.species[i_ion]
+            counts_z = ((fi.dndp_therm[:, zs, 1] + fi.dndp_cr[:, zs, 1])
+                        * dp[:, None]).T              # [nz, n_p]
+            if s.aa >= 1:
+                scaling = heavy_nuclei_scaling(s.aa, aa_ion, n0_ion)
+                emis = np.asarray(pion_grid_device(
+                    counts_z, p_edges, e_pion, target_z, s.aa, s.mc,
+                    scaling))
+                pion_grid[:, zs] = (np.maximum(pion_grid[:, zs], 0.0)
+                                    + emis * flux_fac)
+            else:
+                emis = np.asarray(synch_grid_device(
+                    jnp_f64(counts_z), jnp_f64(prof.btot[zs]),
+                    jnp_f64(p_edges), jnp_f64(e_synch)))
+                synch_grid[:, zs] += emis * flux_fac
+                if fi.d2n_ef is not None:
+                    d2n_z = fi.d2n_ef[:, :, zs] * dp[:, None, None]
+                    ne_z = cone_cut_counts(d2n_z, cos_bounds,
+                                           cfg.jet_sph_frac)
+                    a1, n_ph = cmb_photon_field(setup.redshift)
+                    ic_grid[:, zs] += np.asarray(ic_grid_device(
+                        jnp_f64(ne_z), jnp_f64(p_edges),
+                        jnp_f64(alpha_ic),
+                        (jnp_f64(a1), jnp_f64(n_ph)), s.mc,
+                        cfg.jet_sph_frac, dist_lum))
+                    if cfg.do_ssc:
+                        # SSC seeds differ per zone: keep the oracle
+                        # per-zone kernel for this optional pass
+                        for k, n in enumerate(range(zs.start, zs.stop)):
+                            if emis[:, k].max() <= 1e-90:
+                                continue
+                            d2n_counts = fi.d2n_ef[:, :, n] * dp[:, None]
+                            if d2n_counts.max() <= 1e-90:
+                                continue
+                            n_ph_z = (np.maximum(emis[:, k], 0.0)
+                                      / e_synch * dlne
+                                      / (surf[n] * C_CGS))
+                            ssc_grid[:, n] += ic_emission(
+                                d2n_counts, p_edges, cos_bounds,
+                                alpha_ic, setup.redshift,
+                                cfg.jet_sph_frac, dist_lum, s.mc,
+                                seed=(a1_synch, n_ph_z))
+        pion_ism = np.asarray(doppler_shift_device(
+            jnp_f64(pion_grid), jnp_f64(e_pion),
+            jnp_f64(prof.beta_ef), jnp_f64(prof.gamma_ef)))
+        synch_ism = np.asarray(doppler_shift_device(
+            jnp_f64(synch_grid), jnp_f64(e_synch),
+            jnp_f64(prof.beta_ef), jnp_f64(prof.gamma_ef)))
+        pion_shell = sum_shells(pion_ism, ends)
+        synch_shell = sum_shells(synch_ism, ends)
+        ic_shell = sum_shells(ic_grid, ends)
+        ssc_shell = None
+        if cfg.do_ssc:
+            ssc_shell = sum_shells(ssc_grid, ends)
+            ic_shell = ic_shell + np.maximum(ssc_shell, 0.0)
+        e_tot, tot_shell = merge_total(pion_shell, synch_shell,
+                                       ic_shell)
+        return EmissionResult(
+            e_pion=e_pion, e_synch=e_synch, e_ic=e_ic,
+            pion_grid=pion_grid, synch_grid=synch_grid,
+            ic_grid=ic_grid, pion_shell=pion_shell,
+            synch_shell=synch_shell, ic_shell=ic_shell, e_tot=e_tot,
+            tot_shell=tot_shell, tot=tot_shell.sum(axis=1),
+            ssc_grid=ssc_grid, ssc_shell=ssc_shell)
 
     for i_ion, fi in enumerate(ion_finals):
         s = cfg.species[i_ion]

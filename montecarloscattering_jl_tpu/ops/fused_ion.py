@@ -109,3 +109,65 @@ def run_ion_fused(state: ParticleState, tallies: Tallies,
 run_ion_fused_jit = jax.jit(run_ion_fused,
                             static_argnames=("ss", "compact_levels"),
                             donate_argnums=(0, 1, 2))
+
+
+_XLA_HYBRID_CACHE = {}
+
+
+def _get_xla_seg(ss, compact_levels: int):
+    """One pcut segment as ONE jitted device program
+    [run_segment -> finish -> split] — the XLA twin of the megakernel
+    hybrid ladder (ops/pallas_step._get_hybrid_seg)."""
+    key = (ss, compact_levels)
+    if key in _XLA_HYBRID_CACHE:
+        return _XLA_HYBRID_CACHE[key]
+
+    def seg(st, tl, es, grids, sc, n_target, key):
+        st, tl = run_segment(st, tl, grids, sc, ss, compact_levels)
+        es = finish_particles(st, es, grids, sc, ss)
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))
+        st, n_new = split_on_device(st, n_target, key)
+        return st, tl, es, n_new, nsteps
+
+    f = jax.jit(seg, donate_argnums=(0, 1, 2))
+    _XLA_HYBRID_CACHE[key] = f
+    return f
+
+
+def run_ion_xla_hybrid(state, tallies, esc, grids, sc, ss,
+                       pcuts, pcut_prevs, n_targets, seg_keys,
+                       compact_levels: int = 0):
+    """The whole pcut ladder as a host loop of per-segment device
+    programs (one ~25 ms dispatch per pcut — negligible next to
+    segment drain time).
+
+    This REPLACES the round-2 "blocked ladder" workaround for the
+    >= 128k fused-scan runtime fault: a single-segment program at
+    262k lanes is solid (bench drain), only the 45-segment lax.scan
+    program faulted, so the fix is to not build that program.  Also
+    removes the block-divided split-target truncation the blocked
+    path had.  Returns (state, tallies, esc, n_new, nsteps)."""
+    import numpy as np
+
+    seg_fn = _get_xla_seg(ss, compact_levels)
+    n_seg = len(pcuts)
+    pcuts_h = np.asarray(pcuts, np.float64)
+    prevs_h = np.asarray(pcut_prevs, np.float64)
+    targets_h = np.asarray(n_targets, np.int64)
+    n_new_out = np.zeros(n_seg, np.int64)
+    nsteps_out = np.zeros(n_seg, np.uint64)
+    p_dtype = state.pb.dtype
+
+    for i in range(n_seg):
+        sci = sc._replace(
+            pcut=jnp.asarray(pcuts_h[i], p_dtype),
+            pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
+        state, tallies, esc, n_new, nsteps = seg_fn(
+            state, tallies, esc, grids, sci,
+            jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
+        n_new_out[i] = int(n_new)
+        nsteps_out[i] = np.uint64(nsteps)
+        if n_new_out[i] == 0:
+            break
+    return (state, tallies, esc, jnp.asarray(n_new_out),
+            jnp.asarray(nsteps_out))

@@ -76,14 +76,14 @@ LANE = 128
 _ROWS = int(os.environ.get("MCS_MEGA_ROWS", 32))     # lanes/block = _ROWS*128
 _STEPS = int(os.environ.get("MCS_MEGA_STEPS", 256))  # steps per launch
 _NF = 12   # f32 state fields
-_NI = 6    # i32 state fields
+_NI = 7    # i32 state fields
 ZPAD = 128
 
 # f32 state stack rows
 F_W, F_PB, F_PP, F_PHI, F_UXP, F_XNP, F_TST, F_PRP = range(8)
 F_XHI, F_XLO, F_ATHI, F_ATLO = 8, 9, 10, 11
 # i32 state stack rows
-I_STATUS, I_REASON, I_NSTEPS, I_FLAGS, I_KEY0, I_KEY1 = range(6)
+I_STATUS, I_REASON, I_NSTEPS, I_FLAGS, I_KEY0, I_KEY1, I_TCUT = range(7)
 # flag bits
 FL_DW, FL_INJ, FL_RETRO, FL_JRET = 1, 2, 4, 8
 
@@ -91,7 +91,12 @@ FL_DW, FL_INJ, FL_RETRO, FL_JRET = 1, 2, 4, 8
 A_FLUX0 = 0            # rows 0-3: flux_diff [4, nzc] difference form
 A_PX_ESC, A_EN_ESC, A_SUM_P, A_SUM_KE = 4, 5, 6, 7
 A_ACTIVE, A_OVERFLOW = 8, 9
+A_POOL = 10            # ion->electron pool_diff [nb+1] difference form
 N_AUX = 16
+
+# scf layout: [0:18] segment scalars, [18:22] downstream-zone tail,
+# [22] SR seed, [23] pad, [24:24+n_tcut_slots] tcut times
+_SCF_BASE = 24
 
 _N_REFLECT_TRIES = 2
 
@@ -196,8 +201,8 @@ def _dot_ss(a, b):
 # ---------------------------------------------------------------------------
 
 def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
-                 fs_out, is_out, psd_out, aux_out, psd_scr, *,
-                 band, n_cells_pad, n_steps, cfg):
+                 et_ref, fs_out, is_out, psd_out, aux_out, tc_out,
+                 psd_scr, *, band, n_cells_pad, n_steps, cfg):
     """One grid program: advance one lane block `n_steps` steps.
 
     cfg is a dict of static flags/values (see megakernel_plan)."""
@@ -207,6 +212,7 @@ def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
     def _():
         psd_out[:] = jnp.zeros_like(psd_out)
         aux_out[:] = jnp.zeros_like(aux_out)
+        tc_out[:] = jnp.zeros_like(tc_out)
 
     @pl.when(act_ref[i] == 0)
     def _():
@@ -215,14 +221,14 @@ def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
 
     @pl.when(act_ref[i] != 0)
     def _():
-        _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
-                   fs_out, is_out, psd_out, aux_out, psd_scr,
+        _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
+                   fs_out, is_out, psd_out, aux_out, tc_out, psd_scr,
                    band=band, n_cells_pad=n_cells_pad,
                    n_steps=n_steps, cfg=cfg, prog=i)
 
 
-def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
-               fs_out, is_out, psd_out, aux_out, psd_scr, *,
+def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
+               fs_out, is_out, psd_out, aux_out, tc_out, psd_scr, *,
                band, n_cells_pad, n_steps, cfg, prog):
     R = _ROWS
     BL = R * LANE
@@ -285,7 +291,7 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
 
     def step(sv, _):
         (pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo, athi, atlo,
-         status, reason, nsteps, flags) = sv
+         status, reason, nsteps, flags, tcut_idx) = sv
 
         act = status == ACTIVE
         retro = (flags & jnp.int32(FL_RETRO)) != 0
@@ -397,6 +403,19 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
         # pitch-angle scattering (parallel: no phase adjustment)
         if not cfg["dont_scatter"]:
             cos_max = jnp.where(xnp == xn_coarse, cmax_coarse, cmax_fine)
+            if cfg["frg_rg0_cm"] > 0.0:
+                # custom MFP law lambda = eta*r_g*(r_g/r_ref)^(alpha-1)
+                if is_el:
+                    p_scat = jnp.where(ptot < pe_crit, pe_crit, ptot)
+                else:
+                    p_scat = ptot
+                lg = jnp.log(jnp.maximum(
+                    p_scat * c * gden / np.float32(cfg["frg_rg0_cm"]),
+                    np.float32(1e-30)))
+                f_frg = jnp.exp(lg * np.float32(cfg["frg_alpha"] - 1.0))
+                cos_max = jnp.cos(jnp.sqrt(
+                    np.float32(12.0 * np.pi) / (xnp * eta)
+                    / jnp.maximum(f_frg, np.float32(1e-30))))
             safe_pt = jnp.maximum(ptot, np.float32(1e-30))
             cos_old = pb / safe_pt
             sin_old = pperp / safe_pt
@@ -421,6 +440,30 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
         adding = do_b3 & dwf
         athi, atlo = _ds_add(athi, atlo,
                              jnp.where(adding, tstep * gef, 0.0))
+
+        # tcut tracking (tcut_track!, cuts.jl:149-162): coupled weight
+        # and spectra at each acceleration-time threshold.  The fire
+        # check runs here for the normal path and again after the
+        # retro block (the retro walk keeps adding time,
+        # prob_return.jl:297-304); the MXU contraction for the spectra
+        # happens once per step on the combined fire mask.
+        if cfg["do_tcuts"]:
+            n_slots = cfg["n_tcut_slots"]
+
+            def tcut_val_of(idx):
+                v = jnp.full_like(athi, np.float32(np.inf))
+                for s_i in range(n_slots):
+                    v = jnp.where(idx == jnp.int32(s_i),
+                                  scf_ref[_SCF_BASE + s_i], v)
+                return v
+
+            fire = adding & (athi >= tcut_val_of(tcut_idx))
+            fire_slot = jnp.clip(tcut_idx, 0, n_slots - 1)
+            tcut_idx = jnp.where(fire, tcut_idx + 1, tcut_idx)
+        else:
+            fire = jnp.zeros_like(adding)
+            fire_slot = jnp.zeros_like(tcut_idx)
+
         save = adding & (ptot > pcut)
         status = jnp.where(save, jnp.int32(SAVED), status)
         prp = jnp.where(save & (xhi >= prp), xhi * 1.1, prp)
@@ -617,6 +660,64 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
             jnp.where(esc_cross, -px_sk * w_lane * g0u0, 0.0), axis=0,
             keepdims=True)
 
+        # ---- ion <-> electron energy transfer ---------------------------
+        # (do_energy_transfer, particle_loop.jl:652-723; XLA twin in
+        # ops/step.py).  Table gathers ride [128, BL] one-hot matmuls
+        # against the 3-way bf16 split of eps_target / recv_prefix in
+        # et_ref; the ion pool donation scatters into aux row A_POOL
+        # as a (lo, hi+1) difference pattern, exactly like the flux
+        # channels.
+        if cfg["do_energy_transfer"]:
+            z_iota_bl = lax.broadcasted_iota(jnp.int32, (128, BL), 0)
+            hi_t = jnp.minimum(hi_c, jnp.int32(cfg["i_shock"]))
+            xfer = (crossed & ~injf & (x_old_hi <= 0.0)
+                    & (hi_t >= lo_c))
+            hi_row = hi_t.reshape(1, BL)
+            lo_row = lo_c.reshape(1, BL)
+            if cfg["is_electron"]:
+                pat_recv = ((z_iota_bl == hi_row + 1)
+                            .astype(jnp.float32)
+                            - (z_iota_bl == lo_row).astype(jnp.float32))
+                gp = _dot_ss(et_ref[:], pat_recv.astype(jnp.bfloat16))
+                gain = ((gp[3:4] + gp[4:5] + gp[5:6]).reshape(R, LANE)
+                        * np.float32(cfg["electron_weight_fac"]))
+                g_f = jnp.where(xfer & (gain > 0.0),
+                                gamma_pf + gain / e0, gamma_pf)
+            else:
+                oh_hi = (z_iota_bl == hi_row).astype(jnp.bfloat16)
+                ep = _dot_ss(et_ref[:], oh_hi)
+                eps_stop = (ep[0:1] + ep[1:2] + ep[2:3]).reshape(R, LANE)
+                es0 = _dot_ss(et_ref[:], oh.astype(jnp.bfloat16))
+                eps_start = (es0[0:1] + es0[1:2]
+                             + es0[2:3]).reshape(R, LANE)
+                g_f = 1.0 + (gamma_pf - 1.0) * (1.0 - eps_stop) \
+                    / jnp.maximum(1.0 - eps_start, np.float32(1e-30))
+                donate = xfer & (eps_stop > 0.0)
+                g_f = jnp.where(donate, jnp.maximum(g_f, 1.0), gamma_pf)
+                n_range = (hi_t - lo_c + 1).astype(jnp.float32)
+                inc = jnp.where(
+                    donate, (gamma_pf - g_f) * e0 * w_lane
+                    / jnp.maximum(n_range, 1.0), 0.0)
+                pat_pool = ((z_iota_bl == lo_row).astype(jnp.float32)
+                            - (z_iota_bl == hi_row + 1)
+                            .astype(jnp.float32)).astype(jnp.bfloat16)
+                dkey_et = idx0 ^ (nsteps << jnp.int32(12))
+                inc_sr = _sr_bf16_bits(inc, dkey_et,
+                                       seed + jnp.int32(505))
+                aux_out[A_POOL:A_POOL + 1, :] += _dot_ll(
+                    inc_sr.reshape(1, BL).astype(jnp.bfloat16), pat_pool)
+            scale = (jnp.sqrt(jnp.maximum(g_f * g_f - 1.0, 0.0))
+                     / jnp.maximum(
+                         jnp.sqrt(jnp.maximum(
+                             gamma_pf * gamma_pf - 1.0, 0.0)),
+                         np.float32(1e-30)))
+            chg = xfer & (g_f != gamma_pf)
+            scale = jnp.where(chg, scale, 1.0)
+            pb = pb * scale
+            pperp = pperp * scale
+            ptot = jnp.hypot(pb, pperp)
+            gamma_pf = jnp.hypot(ptot / mc, 1.0)
+
         # ---- downstream logic -------------------------------------------
         jret = jnp.zeros_like(jret)
         if is_el:
@@ -720,6 +821,16 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
             x_try_hi = xhi + dx_r
             at_d = jnp.where(in_retro, t_step_r * gef_dw, 0.0)
             athi, atlo = _ds_add(athi, atlo, at_d)
+            # tcut tracking continues during the replay
+            # (prob_return.jl:297-304)
+            if cfg["do_tcuts"]:
+                fire_r = in_retro & (athi >= tcut_val_of(tcut_idx))
+                fire_slot = jnp.where(
+                    fire_r,
+                    jnp.clip(tcut_idx, 0, cfg["n_tcut_slots"] - 1),
+                    fire_slot)
+                fire = fire | fire_r
+                tcut_idx = jnp.where(fire_r, tcut_idx + 1, tcut_idx)
             phi_las = two_pi * u[0]
             mu_las = 2.0 * u[1] - 1.0
             p_new = ptot_r
@@ -745,6 +856,37 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
             retro = jnp.where(returned | dead_r, False, retro)
             jret = jret | returned
 
+        # tcut coupled-weight/spectra contraction: tc_out[ip, slot] +=
+        # fired weight, one [TC_pad, BL] x [ZPAD, BL] one-hot matmul
+        # per step (~6% of the psd band contraction's MACs).  The
+        # coupled weight totals are the ip-marginal, recovered by the
+        # wrapper (tcut_track!, cuts.jl:160-162 adds the same weight
+        # to both arrays).
+        if cfg["do_tcuts"]:
+            ptot_fin = jnp.hypot(pb, pperp)
+            lp_pf = (jnp.log(jnp.maximum(ptot_fin, np.float32(1e-37)))
+                     * inv_ln10
+                     - np.float32(np.log10(cfg["psd_mom_min"])))
+            ip_pf = (jnp.floor(lp_pf
+                               * np.float32(cfg["bins_per_dec_mom"]))
+                     .astype(jnp.int32) + jnp.int32(1))
+            ip_pf = jnp.where(ptot_fin < np.float32(cfg["psd_mom_min"]),
+                              jnp.int32(0), ip_pf)
+            ip_pf = jnp.clip(ip_pf, jnp.int32(0),
+                             jnp.int32(cfg["n_mom"]))
+            wv = jnp.where(fire, w_lane, 0.0)
+            dkey_tc = idx0 ^ (nsteps << jnp.int32(12))
+            wv_sr = _sr_bf16_bits(wv, dkey_tc, seed + jnp.int32(404))
+            tc_pad = cfg["tc_pad"]
+            ip_row = ip_pf.reshape(1, BL)
+            sl_row = fire_slot.reshape(1, BL)
+            a_tc = (lax.broadcasted_iota(jnp.int32, (tc_pad, BL), 0)
+                    == ip_row).astype(jnp.bfloat16)
+            b_tc = ((lax.broadcasted_iota(jnp.int32, (ZPAD, BL), 0)
+                     == sl_row).astype(jnp.float32)
+                    * wv_sr.reshape(1, BL)).astype(jnp.bfloat16)
+            tc_out[:] += _dot_ll(a_tc, b_tc)
+
         # helix cap
         nsteps = nsteps + (act).astype(jnp.int32)
         capped = ((status == ACTIVE)
@@ -757,14 +899,15 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
                  | (retro.astype(jnp.int32) * jnp.int32(FL_RETRO))
                  | (jret.astype(jnp.int32) * jnp.int32(FL_JRET)))
         return ((pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo,
-                 athi, atlo, status, reason, nsteps, flags), None)
+                 athi, atlo, status, reason, nsteps, flags, tcut_idx),
+                None)
 
     init = (fs_ref[F_PB], fs_ref[F_PP], fs_ref[F_PHI],
             fs_ref[F_UXP], fs_ref[F_XNP], fs_ref[F_TST],
             fs_ref[F_PRP], fs_ref[F_XHI], fs_ref[F_XLO],
             fs_ref[F_ATHI], fs_ref[F_ATLO],
             is_ref[I_STATUS], is_ref[I_REASON],
-            is_ref[I_NSTEPS], is_ref[I_FLAGS])
+            is_ref[I_NSTEPS], is_ref[I_FLAGS], is_ref[I_TCUT])
 
     def body(si, sv):
         out, _ = step(sv, None)
@@ -773,7 +916,7 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
     # i32 bounds: an i64 loop counter aborts the Mosaic layout pass
     fin = lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, init)
     (pb, pperp, phi, uxp, xnp, tstep, prp, xhi, xlo, athi, atlo,
-     status, reason, nsteps, flags) = fin
+     status, reason, nsteps, flags, tcut_idx) = fin
 
     fs_out[F_W] = w_lane
     fs_out[F_PB] = pb
@@ -793,6 +936,7 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
     is_out[I_FLAGS] = flags
     is_out[I_KEY0] = is_ref[I_KEY0]
     is_out[I_KEY1] = is_ref[I_KEY1]
+    is_out[I_TCUT] = tcut_idx
     aux_out[A_ACTIVE:A_ACTIVE + 1, :] += jnp.sum(
         (status == ACTIVE).astype(jnp.float32), axis=0, keepdims=True)
 
@@ -802,18 +946,22 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref,
 
 def megakernel_ok(ss, p_dtype, psd_dtype) -> bool:
     """Static gate: configs the megakernel supports (others take the
-    XLA helix_step path)."""
+    XLA helix_step path).  tcuts and ion<->electron energy transfer
+    run in-kernel; x_spec detectors and f64 momenta stay XLA-only.
+    The PSD difference array must fit the VMEM accumulator
+    ([n_cells_pad, 128] f32 <= ~8 MB of the ~16 MB/core budget)."""
     if os.environ.get("MCS_MEGAKERNEL", "1") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False
-    return (ss.parallel and not ss.do_tcuts and ss.n_xspec == 0
-            and not ss.do_energy_transfer
+    n_cells = (ss.n_mom + 1) * 2 * (ss.n_theta + 1)
+    return (ss.parallel and ss.n_xspec == 0
             and p_dtype == jnp.float32 and psd_dtype == jnp.float32
-            and ss.nb + 1 <= ZPAD)
+            and ss.nb + 1 <= ZPAD
+            and -(-n_cells // 128) * 128 <= 16384)
 
 
-def _static_cfg(ss):
+def _static_cfg(ss, n_tcut_slots: int = 1):
     return dict(
         eta_mfp=float(ss.eta_mfp),
         xn_per_coarse=float(ss.xn_per_coarse),
@@ -822,14 +970,22 @@ def _static_cfg(ss):
         dont_dsa=bool(ss.dont_dsa),
         do_rad_losses=bool(ss.do_rad_losses),
         do_retro=bool(ss.do_retro),
+        do_tcuts=bool(ss.do_tcuts),
+        do_energy_transfer=bool(ss.do_energy_transfer),
+        n_tcut_slots=int(n_tcut_slots),
+        i_shock=int(ss.i_shock),
+        electron_weight_fac=float(ss.electron_weight_fac),
         use_custom_eps_b=bool(ss.use_custom_eps_b),
         is_electron=bool(ss.is_electron),
+        frg_alpha=float(ss.frg_alpha),
+        frg_rg0_cm=float(ss.frg_rg0_cm),
         has_age_max=True,    # age test gated by age_max <= 0 sentinel
         nb=int(ss.nb),
         i_grid_feb=int(ss.i_grid_feb),
         psd_mom_min=float(ss.psd_mom_min),
         bins_per_dec_mom=int(ss.bins_per_dec_mom),
         n_mom=int(ss.n_mom),
+        tc_pad=-(-(int(ss.n_mom) + 1) // 8) * 8,
         cos_fine=float(ss.cos_fine),
         dcos=float(ss.dcos),
         theta_min=float(ss.theta_min),
@@ -854,12 +1010,13 @@ def _split3(v):
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
-def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, nb: int):
+def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, eps_target,
+               recv_prefix, nb: int):
     """Device-side prep of (xg [128,1] f32, zs [128,32] bf16,
-    tail [4] f32 downstream-zone scalars) — every host
-    float()/np.asarray on a device value is a full round trip through
-    the remote-device tunnel (~25 ms each; profiled at
-    630 ms/segment before this)."""
+    et [128,8] bf16 energy-transfer tables, tail [4] f32
+    downstream-zone scalars) — every host float()/np.asarray on a
+    device value is a full round trip through the remote-device tunnel
+    (~25 ms each; profiled at 630 ms/segment before this)."""
     # grid sentinels are +-1e30 rg0 = ~1e40 cm: clamp into f32 range
     # (positions never approach either value)
     xgv = jnp.clip(x_grid[:nb], -3.0e38, 3.0e38).astype(jnp.float32)
@@ -876,13 +1033,21 @@ def _mega_prep(x_grid, ux, gamma_sf, gamma_ef, btot, nb: int):
         cols.extend([zcol] * 4)
     cols.extend([zcol] * 8)
     zs = jnp.stack(cols, axis=1)                  # [128, 32]
+    # energy-transfer tables: eps_target [nb] and recv_prefix [nb+1],
+    # each 3-way bf16 split (cols 0-2 eps, 3-5 recv, 6-7 zero)
+    ep = _split3(jnp.pad(eps_target.astype(jnp.float32),
+                         (0, 128 - eps_target.shape[0])))
+    rp = _split3(jnp.pad(recv_prefix.astype(jnp.float32),
+                         (0, 128 - recv_prefix.shape[0])))
+    et = jnp.stack([ep[0], ep[1], ep[2], rp[0], rp[1], rp[2],
+                    zcol, zcol], axis=1)          # [128, 8]
     tail = jnp.concatenate([
         btot[nb - 2:nb - 1].astype(jnp.float32),
         gamma_sf[nb - 2:nb - 1].astype(jnp.float32),
         gamma_ef[nb - 2:nb - 1].astype(jnp.float32),
         ux[nb - 2:nb - 1].astype(jnp.float32),
     ])
-    return xg, zs, tail
+    return xg, zs, et, tail
 
 
 def _scvec(sc):
@@ -898,16 +1063,21 @@ def _scvec(sc):
 
 
 def _mega_scf(sc, grids, ss, seed: int):
-    """scf [24] f32 + xg + zs with NO host-device sync."""
-    xg, zs, tail = _mega_prep(jnp.asarray(grids.x_grid),
-                              jnp.asarray(grids.ux),
-                              jnp.asarray(grids.gamma_sf),
-                              jnp.asarray(grids.gamma_ef),
-                              jnp.asarray(grids.btot), nb=int(ss.nb))
+    """scf [_SCF_BASE + n_tcut_slots] f32 + xg + zs + et with NO
+    host-device sync."""
+    xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),
+                                  jnp.asarray(grids.ux),
+                                  jnp.asarray(grids.gamma_sf),
+                                  jnp.asarray(grids.gamma_ef),
+                                  jnp.asarray(grids.btot),
+                                  jnp.asarray(grids.eps_target),
+                                  jnp.asarray(grids.recv_prefix),
+                                  nb=int(ss.nb))
     scf = jnp.concatenate([
         _scvec(sc), tail,
-        jnp.asarray([float(seed), 0.0], jnp.float32)])
-    return scf, xg, zs
+        jnp.asarray([float(seed), 0.0], jnp.float32),
+        jnp.asarray(grids.tcuts).astype(jnp.float32)])
+    return scf, xg, zs, et
 
 
 def pack_state(state):
@@ -957,6 +1127,7 @@ def _pack_core(state):
         pi(state.status, FINISHED), pi(state.reason, st.R_DOWNSTREAM),
         pi(state.nsteps), pi(flags),
         pi(kd[:, 0].astype(jnp.int32)), pi(kd[:, 1].astype(jnp.int32)),
+        pi(state.tcut),
     ]).reshape(_NI, bt // LANE, LANE)
     return fs, is_
 
@@ -982,6 +1153,7 @@ def unpack_state(fs, is_, b, template):
         x=x.astype(xdt), ux_prev=gf(F_UXP), xn_per=gf(F_XNP),
         t_step=gf(F_TST), prp_x=gf(F_PRP).astype(xdt),
         acctime=at.astype(template.acctime.dtype),
+        tcut=gi(I_TCUT),
         status=gi(I_STATUS), reason=gi(I_REASON), nsteps=gi(I_NSTEPS),
         downstream=(flags & FL_DW) != 0, inj=(flags & FL_INJ) != 0,
         retro=(flags & FL_RETRO) != 0,
@@ -1021,8 +1193,9 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                              n_cells_pad=n_cells_pad,
                              n_steps=n_steps, cfg=cfg)
     rt = n_blocks * _ROWS
+    tc_pad = cfg["tc_pad"]
 
-    def launch(scf, fs, is_, xg, zs):
+    def launch(scf, fs, is_, xg, zs, et):
         act = (jnp.max((is_[I_STATUS] == ACTIVE).astype(jnp.int32)
                        .reshape(n_blocks, -1), axis=1))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1039,6 +1212,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((128, 32), lambda i, s, a: (i - i, i - i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 8), lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((_NF, _ROWS, LANE),
@@ -1053,10 +1228,13 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 pl.BlockSpec((N_AUX, LANE),
                              lambda i, s, a: (i - i, i - i),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((tc_pad, ZPAD),
+                             lambda i, s, a: (i - i, i - i),
+                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[pltpu.VMEM((band, ZPAD), jnp.float32)],
         )
-        fs2, is2, psd_d, aux = pl.pallas_call(
+        fs2, is2, psd_d, aux, tc_d = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=[
@@ -1064,33 +1242,35 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 jax.ShapeDtypeStruct((_NI, rt, LANE), jnp.int32),
                 jax.ShapeDtypeStruct((n_cells_pad, ZPAD), jnp.float32),
                 jax.ShapeDtypeStruct((N_AUX, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((tc_pad, ZPAD), jnp.float32),
             ],
             interpret=interpret,
-        )(scf, act, fs, is_, xg, zs)
+        )(scf, act, fs, is_, xg, zs, et)
         n_active = jnp.sum(aux[A_ACTIVE]).astype(jnp.int32)
         n_oob = jnp.sum(aux[A_OVERFLOW])
-        return fs2, is2, psd_d, aux, n_active, n_oob
+        return fs2, is2, psd_d, aux, tc_d, n_active, n_oob
 
     max_launches = MAX_HELIX_STEPS // n_steps + 2
 
-    def drive(scf, fs, is_, xg, zs, orig):
+    def drive(scf, fs, is_, xg, zs, et, orig):
         """The whole drain in ONE device program: the per-dispatch
         round trip through the remote device tunnel is ~25 ms, which
         dominated a python-level launch loop."""
         psd0 = jnp.zeros((n_cells_pad, ZPAD), jnp.float32)
         aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
+        tc0 = jnp.zeros((tc_pad, ZPAD), jnp.float32)
         k0 = jnp.int32(0)
         n0 = jnp.int32(1)
         packed0 = jnp.int32(n_blocks * _ROWS * LANE)
 
         def cond(c):
-            _, _, _, _, _, k, n_act, _ = c
+            _, _, _, _, _, _, k, n_act, _ = c
             return (n_act > 0) & (k < max_launches)
 
         def body(c):
-            fs, is_, psd, aux, orig, k, _, packed = c
-            fs, is_, psd_d, aux_d, n_act, _ = launch(scf, fs, is_,
-                                                     xg, zs)
+            fs, is_, psd, aux, tc, orig, k, _, packed = c
+            fs, is_, psd_d, aux_d, tc_d, n_act, _ = launch(
+                scf, fs, is_, xg, zs, et)
             # partition active lanes to the front only when they have
             # halved since the last partition: the multi-operand sort
             # costs ~10 ms at 64k lanes, and between partitions the
@@ -1102,11 +1282,12 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 fs, is_, orig)
             packed = jnp.where(do_part, n_act, packed)
             return (fs, is_, psd + psd_d,
-                    aux + aux_d.astype(jnp.float64), orig,
+                    aux + aux_d.astype(jnp.float64), tc + tc_d, orig,
                     k + 1, n_act, packed)
 
-        fs, is_, psd, aux, orig, k, _, _ = lax.while_loop(
-            cond, body, (fs, is_, psd0, aux0, orig, k0, n0, packed0))
+        fs, is_, psd, aux, tc, orig, k, _, _ = lax.while_loop(
+            cond, body, (fs, is_, psd0, aux0, tc0, orig, k0, n0,
+                         packed0))
         # restore original lane order by sorting on the carried slot
         # index (gathers are serial on TPU; sort is vectorized)
         ops = ([orig]
@@ -1115,7 +1296,7 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         out = lax.sort(ops, num_keys=1, is_stable=True)
         fs = jnp.stack(out[1:1 + _NF]).reshape(fs.shape)
         is_ = jnp.stack(out[1 + _NF:]).reshape(is_.shape)
-        return fs, is_, psd, aux, k
+        return fs, is_, psd, aux, tc, k
 
     f = jax.jit(drive, donate_argnums=(1, 2))
     _LAUNCH_CACHE[key] = (f, drive)
@@ -1135,7 +1316,7 @@ def run_segment_mega(state, tallies, grids, sc, ss,
     from .state import Tallies  # noqa: F401  (doc reference)
 
     n_steps = steps_per_launch or _STEPS
-    cfg = _static_cfg(ss)
+    cfg = _static_cfg(ss, n_tcut_slots=int(grids.tcuts.shape[0]))
     cfg_key = tuple(sorted(cfg.items()))
     fs, is_, b = pack_state(state)
     rt = fs.shape[1]
@@ -1152,10 +1333,11 @@ def run_segment_mega(state, tallies, grids, sc, ss,
 
     # all prep stays on device: a host float()/np.asarray of a device
     # value costs a ~25 ms tunnel round trip (profiled)
-    scf, xg, zs = _mega_scf(sc, grids, ss, seed)
+    scf, xg, zs, et = _mega_scf(sc, grids, ss, seed)
     orig = jnp.arange(rt * LANE, dtype=jnp.int32)
 
-    fs, is_, psd_acc, aux_acc, _k = launch(scf, fs, is_, xg, zs, orig)
+    fs, is_, psd_acc, aux_acc, tc_acc, _k = launch(scf, fs, is_, xg,
+                                                   zs, et, orig)
     n_oob = float(jnp.sum(aux_acc[A_OVERFLOW]))
     if n_oob > 0:
         raise RuntimeError(
@@ -1181,21 +1363,41 @@ def run_segment_mega(state, tallies, grids, sc, ss,
         sum_p_dw=tallies.sum_p_dw + jnp.sum(aux_np[A_SUM_P]),
         sum_ke_dw=tallies.sum_ke_dw + jnp.sum(aux_np[A_SUM_KE]),
     )
+    tallies = _fold_tc_pool(tallies, tc_acc, aux_np, ss)
     return state_out, tallies
+
+
+def _fold_tc_pool(tl, tc_acc, aux, ss):
+    """Fold the in-kernel tcut contraction and pool row into the tally
+    pytree.  weight_coupled is the ip-marginal of spectra_coupled
+    (tcut_track! adds the same weight to both, cuts.jl:160-162)."""
+    upd = {}
+    if ss.do_tcuts:
+        nmp1 = tl.spectra_coupled.shape[0]
+        nts = tl.spectra_coupled.shape[1]
+        tc = tc_acc[:nmp1, :nts].astype(tl.spectra_coupled.dtype)
+        upd["spectra_coupled"] = tl.spectra_coupled + tc
+        upd["weight_coupled"] = (tl.weight_coupled
+                                 + jnp.sum(tc, axis=0))
+    if ss.do_energy_transfer and not ss.is_electron:
+        nzc = tl.pool_diff.shape[0]
+        upd["pool_diff"] = (tl.pool_diff
+                            + aux[A_POOL, :nzc].astype(jnp.float64))
+    return tl._replace(**upd) if upd else tl
 
 # ---------------------------------------------------------------------------
 # fused ion ladder with the megakernel segment (trace-level API)
 # ---------------------------------------------------------------------------
 
-def mega_segment_traced(st, tl, x_grid, xg, zs, tail, seed_f, sc, ss,
-                        band: int, n_cells_pad: int, n_steps: int,
-                        interpret: bool = False):
+def mega_segment_traced(st, tl, x_grid, xg, zs, et, tail, tcv, seed_f,
+                        sc, ss, band: int, n_cells_pad: int,
+                        n_steps: int, interpret: bool = False):
     """One pcut segment with the megakernel, as a PURE traced function
     (usable inside lax.scan — no jit boundary, no host sync).
 
     Returns (state', tallies', oob_count).  The caller must check the
     accumulated oob count after the enclosing jit returns."""
-    cfg = _static_cfg(ss)
+    cfg = _static_cfg(ss, n_tcut_slots=int(tcv.shape[0]))
     cfg_key = tuple(sorted(cfg.items()))
     fs, is_ = _pack_core(st)
     b = st.weight.shape[0]
@@ -1205,9 +1407,11 @@ def mega_segment_traced(st, tl, x_grid, xg, zs, tail, seed_f, sc, ss,
                            n_steps, interpret=interpret)
     scf = jnp.concatenate([_scvec(sc), tail,
                            jnp.stack([seed_f,
-                                      jnp.float32(0.0)])])
+                                      jnp.float32(0.0)]),
+                           tcv.astype(jnp.float32)])
     orig = jnp.arange(rt * LANE, dtype=jnp.int32)
-    fs, is_, psd_acc, aux_acc, _k = drive(scf, fs, is_, xg, zs, orig)
+    fs, is_, psd_acc, aux_acc, tc_acc, _k = drive(scf, fs, is_, xg,
+                                                  zs, et, orig)
 
     st2 = unpack_state(fs, is_, b, st)
     ig = (jnp.searchsorted(x_grid, st2.x, side="right") - 1)
@@ -1226,8 +1430,109 @@ def mega_segment_traced(st, tl, x_grid, xg, zs, tail, seed_f, sc, ss,
         sum_p_dw=tl.sum_p_dw + jnp.sum(aux64[A_SUM_P]),
         sum_ke_dw=tl.sum_ke_dw + jnp.sum(aux64[A_SUM_KE]),
     )
+    tl = _fold_tc_pool(tl, tc_acc, aux64, ss)
     oob = jnp.sum(aux_acc[A_OVERFLOW]).astype(jnp.float64)
     return st2, tl, oob
+
+
+_HYBRID_CACHE = {}
+
+
+def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
+                    interpret=False):
+    """One pcut segment as ONE jitted device program:
+    megakernel drain -> escape binning -> on-device split.
+
+    This is the production ladder driver: a python loop of these
+    programs costs one ~25 ms dispatch per pcut (45 per species —
+    ~1 s, negligible), while each drain runs the exact same program
+    shape as the standalone bench drive.  The previous design (the
+    whole 45-segment ladder inside one lax.scan) built a giant
+    Mosaic-embedded program that recompiled through the remote relay
+    and ran its in-scan drive well below the standalone rate."""
+    key = (cfg_key, band, n_cells_pad, n_blocks, n_steps, interpret)
+    if key in _HYBRID_CACHE:
+        return _HYBRID_CACHE[key]
+
+    from .finish import finish_particles
+    from .fused_ion import split_on_device
+
+    def seg(st, tl, es, grids, sc, xg, zs, et, tail, seed_f, n_target,
+            key):
+        x_grid = jnp.asarray(grids.x_grid)
+        tcv = jnp.asarray(grids.tcuts).astype(jnp.float32)
+        st, tl, oob = mega_segment_traced(
+            st, tl, x_grid, xg, zs, et, tail, tcv, seed_f, sc, ss,
+            band, n_cells_pad, n_steps, interpret=interpret)
+        es = finish_particles(st, es, grids, sc, ss)
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))
+        st, n_new = split_on_device(st, n_target, key)
+        return st, tl, es, n_new, nsteps, oob
+
+    f = jax.jit(seg, donate_argnums=(0, 1, 2))
+    _HYBRID_CACHE[key] = f
+    return f
+
+
+def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
+                        pcuts, pcut_prevs, n_targets, seg_keys,
+                        band: int = 0, n_steps: int = 0,
+                        interpret: bool = False):
+    """Transport one species through the whole pcut ladder with the
+    megakernel, one jitted [drain -> finish -> split] program per
+    segment (see _get_hybrid_seg).  Host-level loop over pcuts with an
+    early break when the chain dies (pcut_finalize, cuts.jl:115-119).
+
+    pcuts / pcut_prevs / n_targets are host sequences; seg_keys is a
+    [n_seg] key array.  Returns the same tuple as run_ion_fused_mega:
+    (state, tallies, esc, n_new[n_seg], nsteps[n_seg], oob)."""
+    cfg = _static_cfg(ss, n_tcut_slots=int(grids.tcuts.shape[0]))
+    cfg_key = tuple(sorted(cfg.items()))
+    n_cells = tallies.psd_diff.shape[0]
+    band = band or min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+                       -(-n_cells // 128) * 128)
+    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+    n_steps = n_steps or _STEPS
+    b = state.weight.shape[0]
+    n_blocks = (-(-b // LANE) + _ROWS - 1) // _ROWS
+
+    seg_fn = _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks,
+                             n_steps, interpret=interpret)
+    xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),
+                                  jnp.asarray(grids.ux),
+                                  jnp.asarray(grids.gamma_sf),
+                                  jnp.asarray(grids.gamma_ef),
+                                  jnp.asarray(grids.btot),
+                                  jnp.asarray(grids.eps_target),
+                                  jnp.asarray(grids.recv_prefix),
+                                  nb=int(ss.nb))
+
+    n_seg = len(pcuts)
+    pcuts_h = np.asarray(pcuts, np.float64)
+    prevs_h = np.asarray(pcut_prevs, np.float64)
+    targets_h = np.asarray(n_targets, np.int64)
+    n_new_out = np.zeros(n_seg, np.int64)
+    nsteps_out = np.zeros(n_seg, np.uint64)
+    oob_acc = jnp.zeros((), jnp.float64)
+    p_dtype = state.pb.dtype
+
+    for i in range(n_seg):
+        sci = sc._replace(
+            pcut=jnp.asarray(pcuts_h[i], p_dtype),
+            pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
+        state, tallies, esc, n_new, nsteps, oob = seg_fn(
+            state, tallies, esc, grids, sci, xg, zs, et, tail,
+            jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
+            seg_keys[i])
+        oob_acc = oob_acc + oob
+        # one ~25 ms host sync per segment buys the reference's exact
+        # pcut_finalize early break (cuts.jl:115-119)
+        n_new_out[i] = int(n_new)
+        nsteps_out[i] = np.uint64(nsteps)
+        if n_new_out[i] == 0:
+            break
+    return (state, tallies, esc, jnp.asarray(n_new_out),
+            jnp.asarray(nsteps_out), oob_acc)
 
 
 def run_ion_fused_mega(state, tallies, esc, grids, sc, ss,
@@ -1247,19 +1552,24 @@ def run_ion_fused_mega(state, tallies, esc, grids, sc, ss,
     n_cells_pad = -(-max(n_cells, band) // 128) * 128
     n_steps = n_steps or _STEPS
 
-    xg, zs, tail = _mega_prep(jnp.asarray(grids.x_grid),
-                              jnp.asarray(grids.ux),
-                              jnp.asarray(grids.gamma_sf),
-                              jnp.asarray(grids.gamma_ef),
-                              jnp.asarray(grids.btot), nb=int(ss.nb))
+    xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),
+                                  jnp.asarray(grids.ux),
+                                  jnp.asarray(grids.gamma_sf),
+                                  jnp.asarray(grids.gamma_ef),
+                                  jnp.asarray(grids.btot),
+                                  jnp.asarray(grids.eps_target),
+                                  jnp.asarray(grids.recv_prefix),
+                                  nb=int(ss.nb))
     x_grid = jnp.asarray(grids.x_grid)
+    tcv = jnp.asarray(grids.tcuts).astype(jnp.float32)
 
     def body(carry, xs):
         st, tl, es, oob = carry
         pcut, pcut_prev, n_target, key, iseg = xs
         sci = sc._replace(pcut=pcut, pcut_prev=pcut_prev)
         st, tl, oob_d = mega_segment_traced(
-            st, tl, x_grid, xg, zs, tail, iseg.astype(jnp.float32),
+            st, tl, x_grid, xg, zs, et, tail, tcv,
+            iseg.astype(jnp.float32),
             sci, ss, band, n_cells_pad, n_steps, interpret=interpret)
         es = finish_particles(st, es, grids, sci, ss)
         nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))

@@ -153,6 +153,11 @@ class StepStatic:
     # (its only observable is the pxz diagnostic, which the parallel
     # smoother hardcodes to zero, smoothers.jl:183)
     parallel: bool = True
+    # custom f(r_g) MFP law (reserved in the reference,
+    # scattering.jl:52-54): lambda = eta * r_g * (r_g/frg_rg0_cm)^
+    # (frg_alpha - 1); frg_rg0_cm = 0 selects the standard eta*r_g
+    frg_alpha: float = 1.0
+    frg_rg0_cm: float = 0.0
     # static band width for the Pallas MXU histogram (0 = use the XLA
     # scatter); set via pallas_hist.hist_band_for on TPU backends
     hist_band: int = 0
@@ -317,6 +322,19 @@ def helix_step(state: ParticleState, tallies: Tallies,
             12.0 * math.pi / (ss.xn_per_fine * ss.eta_mfp)))
         cos_max = jnp.where(state.xn_per == ss.xn_per_coarse,
                             cmax_coarse, cmax_fine).astype(p_dtype)
+        if ss.frg_rg0_cm > 0.0:
+            # custom MFP law: lambda = eta*r_g*(r_g/r_ref)^(alpha-1)
+            # => cos_max per lane (only the f(r_g) factor changes the
+            # formula; scattering.jl:46-60)
+            p_scat = jnp.where(
+                jnp.asarray(ss.is_electron) & (ptot < sc.pe_crit),
+                sc.pe_crit, ptot)
+            r_g_s = p_scat * c * gyro_denom
+            f_frg = (r_g_s / ss.frg_rg0_cm) ** (ss.frg_alpha - 1.0)
+            cos_max = jnp.cos(jnp.sqrt(
+                12.0 * jnp.pi
+                / (state.xn_per * ss.eta_mfp
+                   * jnp.maximum(f_frg, 1e-30)))).astype(p_dtype)
         res = scattering(u[:, _U_SCAT1], u[:, _U_SCAT2], pb, pperp, phi,
                          ptot, gamma_pf, state.xn_per, gyro_denom,
                          jnp.asarray(ss.is_electron), sc.pe_crit,
@@ -343,7 +361,11 @@ def helix_step(state: ParticleState, tallies: Tallies,
     tcut_idx = state.tcut
     if ss.do_tcuts:
         n_slots = grids.tcuts.shape[0]
-        fire = adding_time & (acct >= grids.tcuts[
+        # idx < n_slots guard: the reference relies on age_max killing
+        # lanes before the last tcut (mc_in.toml age 3.15e11 < tcut
+        # 3e13); the explicit guard keeps the last slot from re-firing
+        # when a config violates that ordering
+        fire = adding_time & (tcut_idx < n_slots) & (acct >= grids.tcuts[
             jnp.clip(tcut_idx, 0, n_slots - 1)])
         ip_pf = psd_bin_momentum(ptot, ss.psd_mom_min, ss.bins_per_dec_mom,
                                  ss.n_mom)
@@ -958,7 +980,8 @@ def _retro_step(in_retro, status, reason, x, prp_x, pb, pperp, phi,
     if ss.do_tcuts:
         n_slots = grids.tcuts.shape[0]
         slot = jnp.clip(tcut_idx, 0, n_slots - 1)
-        fire = in_retro & (acct_new >= grids.tcuts[slot])
+        fire = (in_retro & (tcut_idx < n_slots)
+                & (acct_new >= grids.tcuts[slot]))
         ip_pf = psd_bin_momentum(ptot, ss.psd_mom_min, ss.bins_per_dec_mom,
                                  ss.n_mom)
         wv = jnp.where(fire, weight, 0.0).astype(jnp.float64)

@@ -83,6 +83,54 @@ def sharded_run_segment(mesh: Mesh, ss: stp.StepStatic,
     return jax.jit(seg, donate_argnums=(0, 1))
 
 
+def sharded_segment_mega(mesh: Mesh, ss: stp.StepStatic,
+                         n_tallies_cells: int, n_steps: int = 0,
+                         interpret: bool = False):
+    """Megakernel segment under the mesh: each shard drains its own
+    lane block with the Pallas drive (ops/pallas_step), tallies
+    psum-reduced over ICI once per segment.
+
+    Per-lane trajectories are bitwise independent of the mesh shape
+    (the in-kernel threefry is keyed by per-lane key data derived from
+    the GLOBAL lane index, counter = per-lane step count); only tally
+    summation order differs.  Shard size must be a multiple of the
+    megakernel block (ROWS*128 lanes).
+
+    Returns f(state, tallies, grids, sc, seed) ->
+    (state, tallies, oob)."""
+    import os
+
+    from ..ops import pallas_step as ps
+
+    state_spec = _state_spec()
+    tally_spec = stt.Tallies(*[P() for _ in stt.Tallies._fields])._replace(
+        rec=P(None, None, DP_AXIS))
+    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+               -(-n_tallies_cells // 128) * 128)
+    n_cells_pad = -(-max(n_tallies_cells, band) // 128) * 128
+    n_steps = n_steps or ps._STEPS
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(state_spec, tally_spec, P(), P(), P()),
+             out_specs=(state_spec, tally_spec, P()),
+             check_vma=False)
+    def seg(state, tallies, grids, sc, seed_f):
+        xg, zs, et, tail = ps._mega_prep(
+            jnp.asarray(grids.x_grid), jnp.asarray(grids.ux),
+            jnp.asarray(grids.gamma_sf), jnp.asarray(grids.gamma_ef),
+            jnp.asarray(grids.btot), jnp.asarray(grids.eps_target),
+            jnp.asarray(grids.recv_prefix), nb=int(ss.nb))
+        tcv = jnp.asarray(grids.tcuts).astype(jnp.float32)
+        s, t, oob = ps.mega_segment_traced(
+            state, tallies, jnp.asarray(grids.x_grid), xg, zs, et,
+            tail, tcv, seed_f, sc, ss, band, n_cells_pad, n_steps,
+            interpret=interpret)
+        t = jax.tree.map(lambda x: jax.lax.psum(x, DP_AXIS), t)
+        return s, t, jax.lax.psum(oob, DP_AXIS)
+
+    return jax.jit(seg, donate_argnums=(0, 1))
+
+
 def shard_state(state: stt.ParticleState, mesh: Mesh) -> stt.ParticleState:
     """Place a host-built state onto the mesh, lanes sharded."""
     return jax.tree.map(

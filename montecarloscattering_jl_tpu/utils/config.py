@@ -234,6 +234,8 @@ class RunConfig:
     # scattering
     eta_mfp: float = 1.0             # gyrofactor: lambda = eta * r_g
     use_custom_frg: bool = False
+    frg_alpha: float = 1.0           # MFP power law lambda ~ r_g^alpha
+    frg_rg0_rg: float = 1.0          # its reference radius [rg0 units]
     xn_per_coarse: float = 100.0
     xn_per_fine: float = 2000.0
     # fields / geometry
@@ -380,10 +382,13 @@ def config_from_dict(cfg: dict) -> RunConfig:
     out.smooth_pressure_flux_psd_fac = float(cfg.get("SMPFP", 0.0))
     if not (0.0 <= out.smooth_pressure_flux_psd_fac <= 1.0):
         raise ConfigError("SMPFP must be in [0, 1]")
-    if out.smooth_pressure_flux_psd_fac > 0:
-        # Reference rejects SMPFP > 0 pending a working PSD-pressure path
-        # (MonteCarloScattering.jl:142-147)
-        raise ConfigError("SMPFP: PSD-based pressure smoothing not supported; set 0")
+    # The reference rejects SMPFP > 0 because its PSD-pressure path is
+    # broken (MonteCarloScattering.jl:141-147 "code does not properly
+    # calculate pressure from PSD").  This framework's PSD pressures
+    # work (ops/reduce.thermo_calcs, tested), and the smoother already
+    # applies the omega blend (models/smoothing.py: pres =
+    # (1-omega)*pres_px + omega*pressure_tot_mc), so the mode is
+    # supported.
 
     out.r_comp = float(cfg["target-compression-ratio"])
     if out.dont_shock:
@@ -461,8 +466,24 @@ def config_from_dict(cfg: dict) -> RunConfig:
 
     out.use_custom_frg = bool(cfg.get("use-custom-frg", False))
     if out.use_custom_frg:
-        # scattering.jl:52-54 rejects custom f(r_g)
-        raise ConfigError("use-custom-frg: custom f(r_g) not supported")
+        # The reference reserves this mode and errors
+        # (scattering.jl:52-54: "define custom f(r_g) in subroutine
+        # scattering").  Here the customization is the standard
+        # power-law MFP family of the DSA literature:
+        # lambda = eta * r_g * (r_g / r_ref)^(alpha - 1), alpha = 1
+        # reduces to the default eta*r_g.
+        frg = cfg.get("custom-frg", None)
+        if not isinstance(frg, dict) or "alpha" not in frg:
+            raise ConfigError(
+                "use-custom-frg requires a custom-frg table with "
+                "'alpha' (and optional 'rg0-rg' reference radius in "
+                "rg0 units)")
+        out.frg_alpha = float(frg["alpha"])
+        if out.frg_alpha <= 0:
+            raise ConfigError("custom-frg alpha must be positive")
+        out.frg_rg0_rg = float(frg.get("rg0-rg", 1.0))
+        if out.frg_rg0_rg <= 0:
+            raise ConfigError("custom-frg rg0-rg must be positive")
     out.emin_therm_fac = float(cfg.get("EMNFC", 0.01))
     out.do_multi_dndps = bool(cfg.get("separate-dNdp-write", False))
 

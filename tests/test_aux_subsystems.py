@@ -13,6 +13,8 @@ from montecarloscattering_jl_tpu.utils import constants as K
 from montecarloscattering_jl_tpu.utils import load_config
 from montecarloscattering_jl_tpu.utils.tracing import PhaseTimers
 
+pytestmark = pytest.mark.slow
+
 
 def _quick_cfg():
     cfg = load_config("tests/data/dsa_nonrel.toml")

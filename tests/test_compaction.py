@@ -19,6 +19,8 @@ from montecarloscattering_jl_tpu.ops import state as stt
 from montecarloscattering_jl_tpu.ops import step as stp
 from montecarloscattering_jl_tpu.utils.params import MAX_HELIX_STEPS
 
+pytestmark = pytest.mark.slow
+
 B = 2048
 # seed the helix counters so CPU drains stay fast; the cap fires at
 # MAX_HELIX_STEPS exactly as in production

@@ -9,6 +9,8 @@ import pytest
 from montecarloscattering_jl_tpu.engine import run
 from montecarloscattering_jl_tpu.utils import load_config
 
+pytestmark = pytest.mark.slow
+
 
 class TestNonlinearConvergence:
     def test_flux_conservation_settles(self):

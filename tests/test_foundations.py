@@ -63,9 +63,14 @@ class TestConfig:
         bad = dict(base); bad["theta-B0"] = 10.0
         with pytest.raises(ConfigError):
             config_from_dict(bad)
-        bad = dict(base); bad["SMPFP"] = 0.5
+        # SMPFP in [0, 1] is now SUPPORTED (the PSD-pressure blend the
+        # reference reserves, MonteCarloScattering.jl:142-147); only
+        # out-of-range values reject
+        bad = dict(base); bad["SMPFP"] = 1.5
         with pytest.raises(ConfigError):
             config_from_dict(bad)
+        ok = dict(base); ok["SMPFP"] = 0.5
+        assert config_from_dict(ok).smooth_pressure_flux_psd_fac == 0.5
         bad = dict(base); bad["maximum-energy"] = [0, 0, 0]
         with pytest.raises(ConfigError):
             config_from_dict(bad)

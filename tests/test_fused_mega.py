@@ -13,6 +13,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ladder_pair():

@@ -70,6 +70,7 @@ class TestPrimitives:
                 np.testing.assert_array_equal(bb, a, err_msg=name)
 
 
+@pytest.mark.slow
 class TestMegaSegmentStatistical:
     """Full drain of the DSA test population: megakernel (interpret)
     vs the XLA run_segment, statistical agreement."""
