@@ -72,6 +72,7 @@ def write_mc_grid(result, path: str) -> None:
                 ]
                 f.write(" ".join(f"{v:.7e}" if isinstance(v, float)
                                  else str(v) for v in row) + "\n")
+        f.write(plot_vals_footer(setup))
 
 
 def write_dndp(result, out_dir: str) -> None:
@@ -100,6 +101,7 @@ def write_dndp(result, out_dir: str) -> None:
                                 f"{_log10s(dn[j, i, 0]):.5e} "
                                 f"{_log10s(dn[j, i, 1]):.5e} "
                                 f"{_log10s(dn[j, i, 2]):.5e}\n")
+                f.write(plot_vals_footer(setup))
         if not setup.cfg.do_multi_dndps:
             break  # single file covers the final iteration only
 
@@ -129,6 +131,60 @@ def write_coupled(result, out_dir: str) -> None:
                             fs.write(f"{i_iter + 1},{i_ion + 1},{k + 1},"
                                      f"{logp[j]:.4f},"
                                      f"{s[j, k, i_ion]:.6e}\n")
+
+
+def plot_vals_footer(setup) -> str:
+    """36-column run-parameter footer appended to each plot-ready data
+    set, in the column order the reference's plotting program reads
+    (print_plot_vals, io.jl:178-253 — stubbed to a no-op there at
+    io.jl:254; functional here).  Leads with the `3333 333` sentinel
+    pair the reader keys on, ends with one (aa, zz, n0, T0) block per
+    species."""
+    cfg = setup.cfg
+    vals = [
+        cfg.u0 / 1.0e5,                       # 1  u0 [km/s]
+        cfg.gamma0,                           # 2
+        setup.r_comp,                         # 3
+        setup.r_rh,                           # 4
+        cfg.theta_b0,                         # 5
+        np.degrees(setup.profile.theta[-2]),  # 6  theta_B2
+        0.0,                                  # 7  theta_u2 (parallel)
+        cfg.bmag0,                            # 8
+        cfg.feb_upstream / cfg.rg0,           # 9  [rg0]
+        cfg.emax / K.KEV_ERG if cfg.emax > 0 else 0.0,        # 10 [keV]
+        cfg.emax_per_aa / K.KEV_ERG if cfg.emax_per_aa > 0
+        else 0.0,                             # 11 [keV/aa]
+        cfg.pmax / K.MP_C if cfg.pmax > 0 else 0.0,           # 12 [mp c]
+        float(cfg.n_pts_inj),                 # 13
+        float(cfg.n_pts_pcut),                # 14
+        cfg.xn_per_coarse,                    # 15
+        cfg.xn_per_fine,                      # 16
+        setup.mach_sonic,                     # 17
+        setup.mach_alfven,                    # 18
+        cfg.x_grid_start_rg,                  # 19
+        float(cfg.random_seed),               # 20
+        cfg.x_grid_stop_rg,                   # 21
+        66.0 if cfg.do_fast_push else 0.0,    # 22
+        cfg.x_fast_stop_rg,                   # 23
+        cfg.eta_mfp,                          # 24
+        cfg.x_art_start_rg,                   # 25
+        cfg.x_art_scale,                      # 26
+        cfg.feb_downstream / cfg.rg0,         # 27 [rg0]
+        cfg.jet_rad_pc,                       # 28
+        cfg.jet_sph_frac,                     # 29
+        cfg.jet_dist_mpc * 1.0e3,             # 30 [kpc]
+        cfg.smooth_mom_energy_fac,            # 31
+        float(cfg.inp_distr),                 # 32
+        cfg.energy_inj,                       # 33
+        cfg.smooth_pressure_flux_psd_fac,     # 34
+        66.0 if cfg.dont_dsa else 0.0,        # 35
+        cfg.energy_transfer_frac,             # 36
+        float(len(cfg.species)),
+    ]
+    for s in cfg.species:
+        vals += [s.aa, s.zz, s.number_density, s.temperature]
+    return ("3333 333 "
+            + " ".join(f"{v:.7e}" for v in vals) + "\n")
 
 
 def write_mc_out(result, path: str) -> None:

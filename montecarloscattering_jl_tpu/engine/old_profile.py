@@ -32,8 +32,8 @@ def read_old_profile(path: str, cfg, x_grid_cm: np.ndarray,
     rows = []
     with open(path) as f:
         for k, line in enumerate(f):
-            if line.startswith("#"):
-                continue
+            if line.startswith("#") or line.startswith("3333 333 "):
+                continue   # header / plot-vals footer (io.plot_vals_footer)
             rows.append([float(v) for v in line.split()])
     rows = rows[n_old_skip:]
     if n_old_per_prof <= 0:

@@ -149,8 +149,16 @@ class TestNonlinearRun:
         assert "mc_dNdp_grid_therm.dat" in names
         grid = open(os.path.join(out, "mc_grid.dat")).readlines()
         assert grid[0].startswith("#")
-        # 2 iterations x 99 zones rows
-        assert len(grid) == 1 + 2 * res.setup.n_grid
+        # 2 iterations x 99 zones rows + the plot-vals footer
+        assert len(grid) == 1 + 2 * res.setup.n_grid + 1
         # each row has 34 columns (i_iter i + 33 quantities... header
         # names the 33-column layout of smoothers.jl:234-272)
-        assert len(grid[1].split()) == len(grid[-1].split()) >= 34
+        assert len(grid[1].split()) == len(grid[-2].split()) >= 34
+        # 36-column plot footer (print_plot_vals, io.jl:204-251):
+        # sentinel pair, 36 values + n_ions, 4 per species
+        foot = grid[-1].split()
+        assert foot[:2] == ["3333", "333"]
+        n_ions = len(res.setup.cfg.species)
+        assert len(foot) == 2 + 37 + 4 * n_ions
+        assert float(foot[2 + 2]) == pytest.approx(res.setup.r_comp)
+        assert float(foot[2 + 23]) == res.setup.cfg.eta_mfp
