@@ -92,17 +92,25 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
     # exact mode 3 (transformers.jl:132-134); here 3 is implemented
     # (ops/reduce._exact_cdf) and selectable
     i_approx = int(os.environ.get("MCS_I_APPROX", "2"))
-    dn_cr = np.asarray(red.dndp_cr(
-        jnp.asarray(res.psd), bins, e0, prof.gamma_sf, cfg.gamma0,
-        i_approx=i_approx))
-    dn_th = np.asarray(red.dndp_cr(
-        jnp.asarray(res.therm_psd), bins, e0, prof.gamma_sf, cfg.gamma0,
-        i_approx=i_approx))
 
     zone_pop, zone_vol = red.zone_populations(
         setup.x_grid_cm, setup.i_shock, s.number_density, cfg.beta0,
         cfg.gamma0, cfg.jet_rad_pc, cfg.jet_sph_frac, prof.ux_sk,
         prof.gamma_sf)
+
+    # one fused device program for every boost/rebin in this reduction
+    # (the remote TPU relay charges ~25 ms + a stream sync per
+    # dispatch, so the former 4-program version dominated wall time);
+    # the ~1e50-scale zone-population normalization of the ISM-frame
+    # d2N stays on the host in f64 (it overflows f32 and commutes with
+    # the per-zone boost)
+    dn_cr, dn_th, d2n_tot, d2n_ef = red.ion_reduce_device(
+        res.psd, res.therm_psd, bins, e0, prof.gamma_sf,
+        prof.ux_sk, cfg.gamma0, i_approx=i_approx, want_ef=want_d2n_ef)
+    if want_d2n_ef:
+        ef_norm = red.ef_zone_norm(res.psd, res.therm_psd, zone_pop,
+                                   res.num_crossings, s.number_density)
+        d2n_ef = np.asarray(d2n_ef, np.float64) * ef_norm[None, None, :]
 
     dn_th, dn_cr = red.normalize_dndp(
         dn_cr, dn_th, bins.mom_edges, zone_pop, s.number_density,
@@ -111,13 +119,7 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
     p_par, p_perp, e_dens = red.thermo_calcs(
         res.psd, res.therm_psd, bins, s.mass, zone_pop,
         res.num_crossings, s.number_density, s.temperature, s.zz,
-        cfg.beta0, cfg.gamma0, prof.ux_sk, prof.gamma_sf)
-
-    d2n_ef = None
-    if want_d2n_ef:
-        d2n_ef = red.dndp_2d_ef(
-            res.psd, res.therm_psd, bins, s.mass, zone_pop,
-            res.num_crossings, s.number_density, cfg.beta0, cfg.gamma0)
+        cfg.beta0, cfg.gamma0, prof.ux_sk, prof.gamma_sf, d2n=d2n_tot)
 
     return IonFinal(
         dndp_therm=dn_th, dndp_cr=dn_cr, zone_pop=zone_pop,

@@ -146,13 +146,10 @@ class TransportEngine:
                 n_cells = (b.n_mom + 1) * 2 * (b.n_theta + 1)
                 f = sharded_segment_mega(self.mesh, ss, n_cells)
 
-                def run_mesh_mega(st, tl, gr, sc, _ss, _f=f):
+                def run_mesh_mega(st, tl, gr, sc, _ss, _f=f,
+                                  _nc=n_cells):
                     st, tl, oob = _f(st, tl, gr, sc, jnp.float32(1.0))
-                    if float(oob) > 0:
-                        raise RuntimeError(
-                            "megakernel tally band overflow under the "
-                            "mesh; raise MCS_MEGA_BAND or set "
-                            "MCS_MESH_MEGA=0")
+                    pstep.check_oob(oob, _nc)
                     return st, tl
                 self._sharded_seg[ss] = run_mesh_mega
             else:
@@ -341,6 +338,7 @@ class TransportEngine:
             fused_max = int(os.environ.get("MCS_FUSED_MAX_BATCH",
                                            65536))
 
+            n_psd_cells = (bins.n_mom + 1) * 2 * (bins.n_theta + 1)
             if use_mega and mega_mode != "scan":
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_mega_hybrid(
@@ -348,21 +346,13 @@ class TransportEngine:
                         np.asarray(cfg.pcuts),
                         np.concatenate([[0.0], cfg.pcuts[:-1]]),
                         np.asarray(n_targets), seg_keys))
-                if float(oob) > 0:
-                    raise RuntimeError(
-                        f"megakernel tally band overflow: "
-                        f"{float(oob):.0f} records; raise "
-                        f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
+                pstep.check_oob(oob, n_psd_cells)
             elif use_mega:   # mega_mode == "scan"
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_fused_mega_jit(
                         state, tal, esc, grids, sc, ss,
                         pcuts, pcut_prevs, n_targets, seg_keys))
-                if float(oob) > 0:
-                    raise RuntimeError(
-                        f"megakernel tally band overflow: "
-                        f"{float(oob):.0f} records; raise "
-                        f"MCS_MEGA_BAND or set MCS_MEGAKERNEL=0")
+                pstep.check_oob(oob, n_psd_cells)
             elif self.batch_size <= fused_max:
                 state, tal, esc, n_new, nsteps = run_ion_fused_jit(
                     state, tal, esc, grids, sc, ss,

@@ -44,12 +44,23 @@ implementation and the fallback for unsupported configs):
     DROPPED AND COUNTED (aux row 9); the wrapper raises if any were —
     for supported configs the per-step cell span is far below the
     band (scripts/probe_band_stats.py).
+  * Large PSDs (e.g. the reference-parity baseline: 55,040 cells =
+    28 MB f32, over the ~16 MB VMEM budget) accumulate into a SLIDING
+    MOMENTUM WINDOW of MCS_MEGA_WINDOW (16,384) cells: before every
+    launch the drive re-anchors the window from the live population's
+    shock-frame momentum bound (window_base in _get_launch) and
+    scatters the launch's window into the full HBM-resident array
+    with a dynamic-slice add.  Crossings whose shock-frame momentum
+    nearly cancels (pt_sk -> 0) can fall below any finite window;
+    their |weight| is tracked (aux rows 11/12) and accepted up to
+    MCS_MEGA_OOB_TOL of the total — beyond that check_oob raises.
 
-Supported configs (megakernel_ok): parallel shock, f32 momenta, no
-tcuts / x_spec detectors / ion-electron energy transfer (those runs
-take the XLA path).  Radiation losses, retro walk, analytic return,
-custom eps_B decay, no-scatter/no-DSA switches are all supported as
-static flags.
+Supported configs (megakernel_ok): parallel shock, f32 momenta —
+including the reference-parity baseline config: tcut tracking and
+ion<->electron energy transfer run in-kernel (x_spec detectors and
+f64 momenta stay XLA-only).  Radiation losses, retro walk, analytic
+return, custom eps_B decay, custom f(r_g), no-scatter/no-DSA switches
+are all supported as static flags.
 
 Reference parity anchors are the same as ops/step.py
 (particle_loop.jl:154-499, all_flux.jl:45-259, prob_return.jl:36-344).
@@ -92,10 +103,12 @@ A_FLUX0 = 0            # rows 0-3: flux_diff [4, nzc] difference form
 A_PX_ESC, A_EN_ESC, A_SUM_P, A_SUM_KE = 4, 5, 6, 7
 A_ACTIVE, A_OVERFLOW = 8, 9
 A_POOL = 10            # ion->electron pool_diff [nb+1] difference form
+A_OOBW, A_WTOT = 11, 12  # dropped vs total |psd weight| (window tol)
 N_AUX = 16
 
 # scf layout: [0:18] segment scalars, [18:22] downstream-zone tail,
-# [22] SR seed, [23] pad, [24:24+n_tcut_slots] tcut times
+# [22] SR seed, [23] tally-window base cell (0 = no window),
+# [24:24+n_tcut_slots] tcut times
 _SCF_BASE = 24
 
 _N_REFLECT_TRIES = 2
@@ -260,6 +273,10 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
     gef_dw = s(20)
     ux_dw = s(21)
     seed = scf_ref[22].astype(jnp.int32)
+    # tally-window base cell: the PSD accumulator holds cells
+    # [cb, cb + n_cells_pad) of the full difference array (0 for
+    # full-coverage configs); cells < 2^24 are exact in f32
+    cb = scf_ref[23].astype(jnp.int32)
 
     w_lane = fs_ref[F_W]
     key0 = _u32(is_ref[I_KEY0])
@@ -458,8 +475,10 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
                 return v
 
             fire = adding & (athi >= tcut_val_of(tcut_idx))
-            fire_slot = jnp.clip(tcut_idx, 0, n_slots - 1)
-            tcut_idx = jnp.where(fire, tcut_idx + 1, tcut_idx)
+            fire_slot = jnp.clip(tcut_idx, jnp.int32(0),
+                                 jnp.int32(n_slots - 1))
+            tcut_idx = jnp.where(fire, tcut_idx + jnp.int32(1),
+                                 tcut_idx)
         else:
             fire = jnp.zeros_like(adding)
             fire_slot = jnp.zeros_like(tcut_idx)
@@ -592,7 +611,7 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
 
         kind = (~injf).astype(jnp.int32)
         cell = ((ipb * jnp.int32(2) + kind) * jnp.int32(cfg["n_theta"] + 1)
-                + jt)
+                + jt - cb)
         psd_w = w_lane * inv_vx * on
 
         # scalar min in f32 (cells < 2^24 are exact; Mosaic's i32
@@ -606,6 +625,11 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
         aux_out[A_OVERFLOW:A_OVERFLOW + 1, :] += jnp.sum(
             oob.astype(jnp.float32).reshape(R, LANE), axis=0,
             keepdims=True)
+        aw = jnp.abs(w_lane * inv_vx) * on
+        aux_out[A_OOBW:A_OOBW + 1, :] += jnp.sum(
+            jnp.where(oob, aw, 0.0), axis=0, keepdims=True)
+        aux_out[A_WTOT:A_WTOT + 1, :] += jnp.sum(aw, axis=0,
+                                                 keepdims=True)
 
         # stochastic rounding to the bf16 grid (unbiased; dither keyed
         # by lane slot x per-lane step count so successive steps and
@@ -827,10 +851,12 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
                 fire_r = in_retro & (athi >= tcut_val_of(tcut_idx))
                 fire_slot = jnp.where(
                     fire_r,
-                    jnp.clip(tcut_idx, 0, cfg["n_tcut_slots"] - 1),
+                    jnp.clip(tcut_idx, jnp.int32(0),
+                             jnp.int32(cfg["n_tcut_slots"] - 1)),
                     fire_slot)
                 fire = fire | fire_r
-                tcut_idx = jnp.where(fire_r, tcut_idx + 1, tcut_idx)
+                tcut_idx = jnp.where(fire_r, tcut_idx + jnp.int32(1),
+                                     tcut_idx)
             phi_las = two_pi * u[0]
             mu_las = 2.0 * u[1] - 1.0
             p_new = ptot_r
@@ -853,7 +879,7 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
             phi = jnp.where(in_retro, phi_las, phi)
             status = jnp.where(dead_r, jnp.int32(FINISHED), status)
             reason = jnp.where(dead_r, jnp.int32(st.R_RADIATED), reason)
-            retro = jnp.where(returned | dead_r, False, retro)
+            retro = retro & ~(returned | dead_r)
             jret = jret | returned
 
         # tcut coupled-weight/spectra contraction: tc_out[ip, slot] +=
@@ -944,21 +970,99 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
 # host-side wrapper
 # ---------------------------------------------------------------------------
 
+def _win_cap_rows() -> int:
+    """VMEM cap on the PSD accumulator rows (cells), 128-aligned."""
+    cap = int(os.environ.get("MCS_MEGA_WINDOW", "16384"))
+    return -(-cap // 128) * 128
+
+
+def _win_margin() -> int:
+    """ip-bin headroom the sliding window keeps above the live
+    population's shock-frame momentum bound (covers within-launch
+    acceleration: a lane gains at most ~a first-Fermi-cycle factor
+    between window re-anchors)."""
+    return int(os.environ.get("MCS_MEGA_WIN_MARGIN", "12"))
+
+
+def _oob_tol() -> float:
+    """Accepted dropped-|weight| fraction for WINDOWED configs.
+
+    A sliding momentum window cannot cover the measure-zero tail of
+    crossings whose shock-frame momentum nearly cancels (pt_sk -> 0
+    needs |px_pf| ~ gamma_pf*m*ux to f32 cancellation); the reference
+    tallies those into otherwise-empty low bins with negligible
+    weight.  Records dropped beyond this fraction raise loudly.
+    Full-coverage configs keep the strict any-record-raises check."""
+    return float(os.environ.get("MCS_MEGA_OOB_TOL", "1e-5"))
+
+
+def _tally_geom(n_cells: int):
+    """(band, acc_rows, full_pad): per-step band size, VMEM
+    accumulator rows (a sliding momentum WINDOW of the difference
+    array when the full array exceeds the VMEM cap), and the padded
+    full-array rows carried in HBM."""
+    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+               -(-n_cells // 128) * 128)
+    full_pad = -(-max(n_cells, band) // 128) * 128
+    acc_rows = min(full_pad, max(_win_cap_rows(), band))
+    return band, acc_rows, full_pad
+
+
+def check_oob(oob, n_cells: int) -> None:
+    """Raise on dropped crossing records.  `oob` is the accumulated
+    [count, dropped |weight|, total |weight|] vector.  Full-coverage
+    configs: ANY drop raises (band overflow is a band-size problem).
+    Windowed configs: drops below MCS_MEGA_OOB_TOL of the total
+    tallied |weight| are the accepted near-cancellation tail (see
+    _oob_tol); more raises."""
+    oob = np.asarray(oob)
+    n_count, oobw, wtot = float(oob[0]), float(oob[1]), float(oob[2])
+    if n_count == 0:
+        return
+    band, acc_rows, full_pad = _tally_geom(n_cells)
+    if acc_rows < full_pad:
+        if oobw <= _oob_tol() * max(wtot, 1e-300):
+            return
+        raise RuntimeError(
+            f"megakernel tally window overflow: {n_count:.0f} records "
+            f"({oobw:.3e} of {wtot:.3e} |weight|) fell outside the "
+            f"{acc_rows}-cell sliding momentum window; raise "
+            f"MCS_MEGA_WINDOW / MCS_MEGA_WIN_MARGIN / "
+            f"MCS_MEGA_OOB_TOL, or rerun with MCS_MEGAKERNEL=0")
+    raise RuntimeError(
+        f"megakernel tally band overflow: {n_count:.0f} crossing "
+        f"records fell outside the {band}-cell window; rerun with "
+        f"MCS_MEGA_BAND larger or MCS_MEGAKERNEL=0")
+
+
+def megakernel_supported(ss, p_dtype, psd_dtype) -> bool:
+    """Backend-independent static gate: configs the megakernel
+    supports (others take the XLA helix_step path).  tcuts and
+    ion<->electron energy transfer run in-kernel; x_spec detectors and
+    f64 momenta stay XLA-only.  The PSD difference array either fits
+    the VMEM accumulator ([acc_rows, 128] f32 <= ~8 MB of the
+    ~16 MB/core budget) whole, or rides a sliding momentum-bin window
+    re-anchored every launch from the live population (the
+    reference-parity baseline: 55,040 cells, 51-ip-bin window = 5.1
+    decades of shock-frame momentum per launch)."""
+    n_cells = (ss.n_mom + 1) * 2 * (ss.n_theta + 1)
+    slab = 2 * (ss.n_theta + 1)
+    window_ok = _win_cap_rows() // slab >= _win_margin() + 20
+    return (ss.parallel and ss.n_xspec == 0
+            and p_dtype == jnp.float32 and psd_dtype == jnp.float32
+            and ss.nb + 1 <= ZPAD
+            and (-(-n_cells // 128) * 128 <= _win_cap_rows()
+                 or window_ok))
+
+
 def megakernel_ok(ss, p_dtype, psd_dtype) -> bool:
-    """Static gate: configs the megakernel supports (others take the
-    XLA helix_step path).  tcuts and ion<->electron energy transfer
-    run in-kernel; x_spec detectors and f64 momenta stay XLA-only.
-    The PSD difference array must fit the VMEM accumulator
-    ([n_cells_pad, 128] f32 <= ~8 MB of the ~16 MB/core budget)."""
+    """megakernel_supported AND the megakernel can actually run here
+    (TPU backend, not opted out via MCS_MEGAKERNEL=0)."""
     if os.environ.get("MCS_MEGAKERNEL", "1") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False
-    n_cells = (ss.n_mom + 1) * 2 * (ss.n_theta + 1)
-    return (ss.parallel and ss.n_xspec == 0
-            and p_dtype == jnp.float32 and psd_dtype == jnp.float32
-            and ss.nb + 1 <= ZPAD
-            and -(-n_cells // 128) * 128 <= 16384)
+    return megakernel_supported(ss, p_dtype, psd_dtype)
 
 
 def _static_cfg(ss, n_tcut_slots: int = 1):
@@ -1064,7 +1168,8 @@ def _scvec(sc):
 
 def _mega_scf(sc, grids, ss, seed: int):
     """scf [_SCF_BASE + n_tcut_slots] f32 + xg + zs + et with NO
-    host-device sync."""
+    host-device sync.  Slot 23 (the sliding-window base cell) starts 0
+    and is overwritten per launch by the drive for windowed configs."""
     xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),
                                   jnp.asarray(grids.ux),
                                   jnp.asarray(grids.gamma_sf),
@@ -1185,15 +1290,58 @@ _LAUNCH_CACHE = {}
 
 def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 interpret=False):
-    key = (cfg_key, band, n_cells_pad, n_blocks, n_steps, interpret)
+    """Compiled [launch-loop] drive for one static config.
+
+    `n_cells_pad` is the FULL padded difference-array row count.  When
+    it exceeds the VMEM cap, the kernel accumulates into a sliding
+    momentum-bin WINDOW of `acc_rows` cells re-anchored before every
+    launch from the live population's shock-frame momentum bound, and
+    the drive scatters each launch's window into the full HBM-resident
+    array with a dynamic-slice add (~8 MB r/w per launch — microseconds
+    against a 256-step launch)."""
+    margin = _win_margin()
+    acc_rows = min(n_cells_pad, max(_win_cap_rows(), band))
+    key = (cfg_key, band, n_cells_pad, acc_rows, n_blocks, n_steps,
+           margin, interpret)
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
 
+    windowed = acc_rows < n_cells_pad
     kern = functools.partial(_mega_kernel, band=band,
-                             n_cells_pad=n_cells_pad,
+                             n_cells_pad=acc_rows,
                              n_steps=n_steps, cfg=cfg)
     rt = n_blocks * _ROWS
     tc_pad = cfg["tc_pad"]
+    slab = 2 * (cfg["n_theta"] + 1)
+
+    def window_base(scf, fs, is_):
+        """Window base cell from the live lanes: top-anchored at the
+        max reachable shock-frame momentum bin (pt_sk <=
+        gamma0*(p_pf + gamma_pf*m*c*beta0)) plus headroom.  The bulk
+        of crossing weight sits within ~2 decades of that bound; the
+        near-cancellation tail below the window is dropped-and-counted
+        against MCS_MEGA_OOB_TOL."""
+        c = np.float32(C_CGS)
+        m = scf[0]
+        mc = scf[1]
+        g0b0 = scf[10] / c                     # gamma0 * beta0
+        g0 = jnp.hypot(g0b0, 1.0)
+        p = jnp.hypot(fs[F_PB], fs[F_PP])
+        gpf = jnp.hypot(p / mc, 1.0)
+        psk_hi = g0 * p + g0b0 * gpf * mc
+        act = is_[I_STATUS] == ACTIVE
+        pmax = jnp.max(jnp.where(act, psk_hi, 0.0))
+        lp = (jnp.log(jnp.maximum(pmax, np.float32(1e-37)))
+              * np.float32(1.0 / np.log(10.0))
+              - np.float32(np.log10(cfg["psd_mom_min"])))
+        ip_hi = (jnp.floor(lp * np.float32(cfg["bins_per_dec_mom"]))
+                 .astype(jnp.int32) + jnp.int32(1))
+        ip_hi = jnp.clip(ip_hi + jnp.int32(margin), jnp.int32(0),
+                         jnp.int32(cfg["n_mom"]))
+        win_ip = acc_rows // slab
+        cb = jnp.maximum(ip_hi - jnp.int32(win_ip - 1),
+                         jnp.int32(0)) * jnp.int32(slab)
+        return jnp.minimum(cb, jnp.int32(n_cells_pad - acc_rows))
 
     def launch(scf, fs, is_, xg, zs, et):
         act = (jnp.max((is_[I_STATUS] == ACTIVE).astype(jnp.int32)
@@ -1222,7 +1370,7 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 pl.BlockSpec((_NI, _ROWS, LANE),
                              lambda i, s, a: (i - i, i, i - i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_cells_pad, ZPAD),
+                pl.BlockSpec((acc_rows, ZPAD),
                              lambda i, s, a: (i - i, i - i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((N_AUX, LANE),
@@ -1240,7 +1388,7 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
             out_shape=[
                 jax.ShapeDtypeStruct((_NF, rt, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((_NI, rt, LANE), jnp.int32),
-                jax.ShapeDtypeStruct((n_cells_pad, ZPAD), jnp.float32),
+                jax.ShapeDtypeStruct((acc_rows, ZPAD), jnp.float32),
                 jax.ShapeDtypeStruct((N_AUX, LANE), jnp.float32),
                 jax.ShapeDtypeStruct((tc_pad, ZPAD), jnp.float32),
             ],
@@ -1269,8 +1417,21 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
 
         def body(c):
             fs, is_, psd, aux, tc, orig, k, _, packed = c
+            if windowed:
+                cb = window_base(scf, fs, is_)
+                scf_l = scf.at[23].set(cb.astype(jnp.float32))
+            else:
+                cb = jnp.int32(0)
+                scf_l = scf
             fs, is_, psd_d, aux_d, tc_d, n_act, _ = launch(
-                scf, fs, is_, xg, zs, et)
+                scf_l, fs, is_, xg, zs, et)
+            if windowed:
+                cur = lax.dynamic_slice(psd, (cb, jnp.int32(0)),
+                                        (acc_rows, ZPAD))
+                psd = lax.dynamic_update_slice(
+                    psd, cur + psd_d, (cb, jnp.int32(0)))
+            else:
+                psd = psd + psd_d
             # partition active lanes to the front only when they have
             # halved since the last partition: the multi-operand sort
             # costs ~10 ms at 64k lanes, and between partitions the
@@ -1281,7 +1442,7 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 do_part, _partition_active, lambda a, b, o: (a, b, o),
                 fs, is_, orig)
             packed = jnp.where(do_part, n_act, packed)
-            return (fs, is_, psd + psd_d,
+            return (fs, is_, psd,
                     aux + aux_d.astype(jnp.float64), tc + tc_d, orig,
                     k + 1, n_act, packed)
 
@@ -1324,9 +1485,7 @@ def run_segment_mega(state, tallies, grids, sc, ss,
 
     n_cells = tallies.psd_diff.shape[0]
     nzc = tallies.psd_diff.shape[1]
-    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-               -(-n_cells // 128) * 128)
-    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+    band, _acc, n_cells_pad = _tally_geom(n_cells)
 
     launch, _ = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
                             n_steps, interpret=interpret)
@@ -1338,12 +1497,9 @@ def run_segment_mega(state, tallies, grids, sc, ss,
 
     fs, is_, psd_acc, aux_acc, tc_acc, _k = launch(scf, fs, is_, xg,
                                                    zs, et, orig)
-    n_oob = float(jnp.sum(aux_acc[A_OVERFLOW]))
-    if n_oob > 0:
-        raise RuntimeError(
-            f"megakernel tally band overflow: {n_oob:.0f} "
-            f"crossing records fell outside the {band}-cell window; "
-            f"rerun with MCS_MEGA_BAND larger or MCS_MEGAKERNEL=0")
+    check_oob(np.asarray(jnp.stack([
+        jnp.sum(aux_acc[A_OVERFLOW]), jnp.sum(aux_acc[A_OOBW]),
+        jnp.sum(aux_acc[A_WTOT])])), n_cells)
 
     state_out = unpack_state(fs, is_, b, state)
     # zone index is derived from position in-kernel; restore it for
@@ -1395,8 +1551,9 @@ def mega_segment_traced(st, tl, x_grid, xg, zs, et, tail, tcv, seed_f,
     """One pcut segment with the megakernel, as a PURE traced function
     (usable inside lax.scan — no jit boundary, no host sync).
 
-    Returns (state', tallies', oob_count).  The caller must check the
-    accumulated oob count after the enclosing jit returns."""
+    Returns (state', tallies', oob [count, dropped |w|, total |w|]).
+    The caller must hand the accumulated oob vector to check_oob after
+    the enclosing jit returns."""
     cfg = _static_cfg(ss, n_tcut_slots=int(tcv.shape[0]))
     cfg_key = tuple(sorted(cfg.items()))
     fs, is_ = _pack_core(st)
@@ -1431,7 +1588,9 @@ def mega_segment_traced(st, tl, x_grid, xg, zs, et, tail, tcv, seed_f,
         sum_ke_dw=tl.sum_ke_dw + jnp.sum(aux64[A_SUM_KE]),
     )
     tl = _fold_tc_pool(tl, tc_acc, aux64, ss)
-    oob = jnp.sum(aux_acc[A_OVERFLOW]).astype(jnp.float64)
+    oob = jnp.stack([jnp.sum(aux64[A_OVERFLOW]),
+                     jnp.sum(aux64[A_OOBW]),
+                     jnp.sum(aux64[A_WTOT])])
     return st2, tl, oob
 
 
@@ -1450,7 +1609,8 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     whole 45-segment ladder inside one lax.scan) built a giant
     Mosaic-embedded program that recompiled through the remote relay
     and ran its in-scan drive well below the standalone rate."""
-    key = (cfg_key, band, n_cells_pad, n_blocks, n_steps, interpret)
+    key = (cfg_key, band, n_cells_pad, _win_cap_rows(), _win_margin(),
+           n_blocks, n_steps, interpret)
     if key in _HYBRID_CACHE:
         return _HYBRID_CACHE[key]
 
@@ -1513,7 +1673,7 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     targets_h = np.asarray(n_targets, np.int64)
     n_new_out = np.zeros(n_seg, np.int64)
     nsteps_out = np.zeros(n_seg, np.uint64)
-    oob_acc = jnp.zeros((), jnp.float64)
+    oob_acc = jnp.zeros((3,), jnp.float64)
     p_dtype = state.pb.dtype
 
     for i in range(n_seg):
@@ -1578,7 +1738,7 @@ def run_ion_fused_mega(state, tallies, esc, grids, sc, ss,
 
     n_seg = pcuts.shape[0]
     (state, tallies, esc, oob), (n_new, nsteps) = lax.scan(
-        body, (state, tallies, esc, jnp.zeros((), jnp.float64)),
+        body, (state, tallies, esc, jnp.zeros((3,), jnp.float64)),
         (pcuts, pcut_prevs, n_targets, seg_keys,
          jnp.arange(1, n_seg + 1, dtype=jnp.int32)))
     return state, tallies, esc, n_new, nsteps, oob

@@ -231,6 +231,122 @@ def dndp_cr(psd, bins: PsdBins, e0: float, gamma_sf_grid, gamma0: float,
 
 
 # ---------------------------------------------------------------------------
+# fused per-ion device reduction (one program, one dispatch)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "psd_mom_min", "bins_per_dec_mom", "bins_per_dec_theta", "cos_fine",
+    "dcos", "theta_min", "n_mom", "n_theta", "i_approx", "want_ef"))
+def _ion_reduce_prog(psd, therm, gamma_sf, betas, e0, gamma0,
+                     mom_edges, cos_bounds, edges_log, mom_centers,
+                     cos_cents, psd_mom_min, bins_per_dec_mom,
+                     bins_per_dec_theta, cos_fine, dcos, theta_min,
+                     n_mom, n_theta, i_approx, want_ef):
+    """All of ion_finalize's device work as ONE XLA program.
+
+    Under the remote-relay TPU backend every dispatch costs ~25 ms and
+    every host<->device fetch synchronizes the stream, so the split
+    dndp_cr / dndp_cr(therm) / d2n_boosted / d2n_boosted(ISM) calls
+    (4 programs, 4 fetches) dominated the per-iteration reduction wall
+    time.  This program also shares the per-zone rebin matrix between
+    the CR and thermal PSDs (it depends only on the zone boost) and
+    uses a single matrix for the ISM frame (constant boost over zones).
+    """
+    nb = psd.shape[-1]
+    dp = jnp.diff(mom_edges)[:, None]
+
+    dn_sf_cr = psd.sum(axis=1)                       # [n_mom+1, nb]
+    dn_sf_th = therm.sum(axis=1)
+    psd_t = jnp.moveaxis(psd, -1, 0)                 # [nb, nm+1, nt+1]
+    th_t = jnp.moveaxis(therm, -1, 0)
+
+    def rebin_zone(args):
+        psd_z, th_z, g = args
+        clp = corner_logp(g, e0, mom_edges, cos_bounds)
+        m = _rebin_matrix(clp, edges_log, i_approx)
+        return (psd_z / g).reshape(-1) @ m, (th_z / g).reshape(-1) @ m
+
+    dn_pf_cr, dn_pf_th = jax.lax.map(rebin_zone, (psd_t, th_t, gamma_sf))
+    clp0 = corner_logp(gamma0, e0, mom_edges, cos_bounds)
+    m0 = _rebin_matrix(clp0, edges_log, i_approx)
+    dn_ef_cr = (psd_t.reshape(nb, -1) / gamma0) @ m0
+    dn_ef_th = (th_t.reshape(nb, -1) / gamma0) @ m0
+
+    dn_cr = jnp.stack([dn_sf_cr, dn_pf_cr.T, dn_ef_cr.T],
+                      axis=-1) / dp[..., None]
+    dn_th = jnp.stack([dn_sf_th, dn_pf_th.T, dn_ef_th.T],
+                      axis=-1) / dp[..., None]
+
+    # center-point boosted d2N (thermo_calcs.jl:179-208)
+    pt = mom_centers[:, None] * jnp.ones_like(cos_cents)[None, :]
+    px = mom_centers[:, None] * cos_cents[None, :]
+
+    def boost_zone(args):
+        w, g, b = args
+        pt_t, px_t = boost_x(pt, px, g, b, e0, C_CGS)
+        ip = psd_bin_momentum(pt_t, psd_mom_min, bins_per_dec_mom, n_mom)
+        jt = psd_bin_angle(px_t, pt_t, cos_fine, dcos, theta_min,
+                           bins_per_dec_theta, n_theta)
+        return jnp.zeros_like(w).at[ip, jt].add(w)
+
+    total_t = psd_t + th_t
+    d2n_tot = jnp.moveaxis(
+        jax.lax.map(boost_zone, (total_t, gamma_sf, betas)), 0, -1)
+
+    d2n_ef = None
+    if want_ef:
+        # ISM-frame boost of the RAW (un-normalized) CR+thermal total:
+        # the zone-population normalization (~1e50 in CGS — overflows
+        # f32) is applied by the caller on the host; it commutes with
+        # the boost because boost_zone maps each zone independently
+        beta0 = jnp.sqrt(1.0 - 1.0 / gamma0**2)
+        d2n_ef = jnp.moveaxis(
+            jax.lax.map(boost_zone,
+                        (total_t, jnp.full(nb, gamma0),
+                         jnp.full(nb, beta0))), 0, -1)
+        d2n_ef = d2n_ef / dp[..., None]
+    return dn_cr, dn_th, d2n_tot, d2n_ef
+
+
+def ion_reduce_device(psd, therm_psd, bins: PsdBins, e0: float,
+                      gamma_sf_grid, ux_sk_grid, gamma0: float,
+                      i_approx: int = 2, want_ef: bool = False):
+    """One-dispatch fused reduction: (dn_cr, dn_th, d2n_tot, d2n_ef).
+
+    dn_cr / dn_th are the UN-normalized dN/dp [n_mom+1, nb, 3]
+    (shock, plasma, ISM frames; == dndp_cr applied to each input);
+    d2n_tot is the plasma-frame center-point boosted CR+thermal d2N
+    for thermo_calcs; d2n_ef (when want_ef) is the ISM-frame d2N/dp of
+    the RAW CR+thermal total for the electron IC path — the caller
+    multiplies by `ef_zone_norm` (zone populations are ~1e50 in CGS
+    and would overflow the f32 device program).
+
+    The program runs in f32 on the device: TPU f64 is software
+    emulation (~10 s/call at baseline shapes vs ~0.2 s f32), and the
+    inputs are MC tallies with percent-level statistical noise — an
+    f32 rebin can flip a corner between adjacent log-p bins only when
+    it sits within ~1e-7 relative of the edge.
+    """
+    f32 = jnp.float32
+    betas = np.asarray(ux_sk_grid) / C_CGS
+    out = _ion_reduce_prog(
+        jnp.asarray(psd, f32), jnp.asarray(therm_psd, f32),
+        jnp.asarray(gamma_sf_grid, f32),
+        jnp.asarray(betas, f32), e0, gamma0,
+        jnp.asarray(bins.mom_edges, f32),
+        jnp.asarray(bins.cos_bounds(), f32),
+        jnp.asarray(bins.mom_bounds_log, f32),
+        jnp.asarray(bins.mom_centers, f32),
+        jnp.asarray(bins.cos_centers(), f32), bins.psd_mom_min,
+        bins.bins_per_dec_mom, bins.bins_per_dec_theta, bins.cos_fine,
+        bins.dcos, bins.theta_min, bins.n_mom, bins.n_theta,
+        i_approx, want_ef)
+    dn_cr, dn_th, d2n_tot, d2n_ef = jax.device_get(out)
+    return (np.asarray(dn_cr), np.asarray(dn_th), np.asarray(d2n_tot),
+            None if d2n_ef is None else np.asarray(d2n_ef))
+
+
+# ---------------------------------------------------------------------------
 # zone populations (set_grid_volumes!, particle_counter.jl:1466-1524)
 # ---------------------------------------------------------------------------
 
@@ -355,11 +471,13 @@ def d2n_boosted(psd_total, gammas, betas, e0, bins: PsdBins):
 def thermo_calcs(psd, therm_psd, bins: PsdBins, m_ion: float,
                  zone_pop, num_crossings, n0_ion: float, t0_ion: float,
                  zz_ion: float, beta0: float, gamma0: float,
-                 ux_sk_grid, gamma_sf_grid):
+                 ux_sk_grid, gamma_sf_grid, d2n=None):
     """Anisotropic pressure + kinetic-energy density per zone
     (thermo_calcs.jl:29-352).
 
     Returns (P_par, P_perp, energy_density) arrays of length nb.
+    `d2n` may carry the precomputed plasma-frame center-point boosted
+    CR+thermal histogram (ion_reduce_device's d2n_tot).
     """
     e0 = m_ion * C_CGS**2
     mc = m_ion * C_CGS
@@ -367,8 +485,9 @@ def thermo_calcs(psd, therm_psd, bins: PsdBins, m_ion: float,
     gam = np.asarray(gamma_sf_grid)
     bet = np.asarray(ux_sk_grid) / C_CGS
 
-    d2n = np.asarray(d2n_boosted(jnp.asarray(psd + therm_psd),
-                                 gam, bet, e0, bins))
+    if d2n is None:
+        d2n = np.asarray(d2n_boosted(jnp.asarray(psd + therm_psd),
+                                     gam, bet, e0, bins))
 
     p_cent = bins.mom_centers
     cos_cent = bins.cos_centers()
@@ -452,10 +571,22 @@ def dndp_2d_ef(psd, therm_psd, bins: PsdBins, m_ion: float, zone_pop,
     """
     e0 = m_ion * C_CGS**2
     nb = psd.shape[-1]
-    total = np.asarray(psd + therm_psd)
+    total = normalized_total_ef(psd, therm_psd, zone_pop,
+                                num_crossings, n0_ion)
     dp = np.diff(bins.mom_edges)
 
-    # normalize to zone populations (particle_counter.jl:480-518)
+    out = np.asarray(d2n_boosted(
+        jnp.asarray(total), np.full(nb, gamma0), np.full(nb, beta0),
+        e0, bins))
+    return out / dp[:, None, None]
+
+
+def ef_zone_norm(psd, therm_psd, zone_pop, num_crossings,
+                 n0_ion: float) -> np.ndarray:
+    """Per-zone population normalization factor [nb] for the ISM-frame
+    d2N (particle_counter.jl:480-518).  Kept in f64 on the host: zone
+    populations are ~1e50 in CGS and overflow f32."""
+    total = np.asarray(psd + therm_psd)
     density_tot = total.sum(axis=(0, 1))
     density_tot = np.where((np.asarray(num_crossings) == 0)
                            & (density_tot > 0),
@@ -463,9 +594,12 @@ def dndp_2d_ef(psd, therm_psd, bins: PsdBins, m_ion: float, zone_pop,
     norm = np.zeros_like(density_tot)
     np.divide(np.asarray(zone_pop), density_tot, out=norm,
               where=density_tot > 0)
-    total = total * norm[None, None, :]
+    return norm
 
-    out = np.asarray(d2n_boosted(
-        jnp.asarray(total), np.full(nb, gamma0), np.full(nb, beta0),
-        e0, bins))
-    return out / dp[:, None, None]
+
+def normalized_total_ef(psd, therm_psd, zone_pop, num_crossings,
+                        n0_ion: float) -> np.ndarray:
+    """CR+thermal histogram normalized to zone populations
+    (particle_counter.jl:480-518) — the input to the ISM-frame boost."""
+    norm = ef_zone_norm(psd, therm_psd, zone_pop, num_crossings, n0_ion)
+    return np.asarray(psd + therm_psd) * norm[None, None, :]

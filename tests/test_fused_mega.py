@@ -45,7 +45,7 @@ def ladder_pair():
         state, tal, esc2, grids, sc, ss, pcuts, prevs, targets, keys,
         n_steps=512, interpret=True)
     f2 = stt.finalize_tallies(t2)
-    assert float(oob) == 0.0
+    assert float(np.asarray(oob)[0]) == 0.0
     return (f1, nnew1, nst1), (f2, nnew2, nst2)
 
 

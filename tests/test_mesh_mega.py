@@ -40,7 +40,7 @@ def pair():
     seg = sharded_segment_mega(mesh, ss, n_cells, interpret=True)
     st_sh = shard_state(state, mesh)
     s2, t2, oob = seg(st_sh, tal, grids, sc, jnp.float32(1.0))
-    assert float(oob) == 0.0
+    assert float(np.asarray(oob)[0]) == 0.0
     f2 = stt.finalize_tallies(t2)
     return s1, f1, s2, f2
 

@@ -55,6 +55,65 @@ class TestReductions:
             assert (dn[:, :, m] * dp[:, None]).sum() == pytest.approx(
                 psd.sum(), rel=1e-6)
 
+    def test_ion_reduce_device_matches_split_oracles(self):
+        """The fused one-dispatch reduction program returns exactly
+        what the separate dndp_cr / d2n_boosted / dndp_2d_ef calls
+        produce (it only restructures the dataflow)."""
+        import jax.numpy as jnp
+        from montecarloscattering_jl_tpu.models.psd_bins import build_psd_bins
+        from montecarloscattering_jl_tpu.utils.species import Species
+        sp = [Species(K.MP_CGS, K.QE_CGS, 1e6, 1.0)]
+        bins = build_psd_bins(sp, 1, 0.0, 0.01, 0.0, 0.0, 100 * K.MP_C,
+                              1.001, 10, 10, 30, 2)
+        rng = np.random.default_rng(1)
+        nb = 8
+        shape = (bins.n_mom + 1, bins.n_theta + 1, nb)
+        psd = rng.random(shape) * (rng.random(shape) < 0.05)
+        therm = rng.random(shape) * (rng.random(shape) < 0.05)
+        gamma0 = 2.5
+        beta0 = np.sqrt(1 - 1 / gamma0**2)
+        gam = np.linspace(gamma0, 1.1, nb)
+        ux = np.linspace(beta0, 0.2, nb) * K.C_CGS
+        zone_pop = rng.random(nb) + 0.5
+        ncross = np.array([0.0, 1, 0, 2, 3, 0, 1, 4])
+        e0 = K.MP_C2
+        dn_cr, dn_th, d2n_tot, d2n_ef = red.ion_reduce_device(
+            psd, therm, bins, e0, gam, ux, gamma0, want_ef=True)
+        ef_norm = red.ef_zone_norm(psd, therm, zone_pop, ncross, 1.0)
+        d2n_ef = np.asarray(d2n_ef, np.float64) * ef_norm[None, None, :]
+        # the fused program runs in f32 on the device (TPU f64 is
+        # emulated); compare against the split oracles on the SAME
+        # f32 inputs, with tolerance for f32 summation order
+        want_cr = np.asarray(red.dndp_cr(
+            jnp.asarray(psd, jnp.float32), bins, e0, gam, gamma0))
+        want_th = np.asarray(red.dndp_cr(
+            jnp.asarray(therm, jnp.float32), bins, e0, gam, gamma0))
+        want_d2n = np.asarray(red.d2n_boosted(
+            jnp.asarray(psd + therm, jnp.float32), gam, ux / K.C_CGS,
+            e0, bins))
+        want_ef = red.dndp_2d_ef(psd, therm, bins, K.MP_CGS, zone_pop,
+                                 ncross, 1.0, beta0, gamma0)
+        atol_cr = 1e-6 * np.abs(want_cr).max()
+        np.testing.assert_allclose(dn_cr, want_cr, rtol=2e-4,
+                                   atol=atol_cr)
+        np.testing.assert_allclose(dn_th, want_th, rtol=2e-4,
+                                   atol=atol_cr)
+
+        def assert_d2n_close(got, want):
+            # the f32 program can flip a boosted CELL CENTER into the
+            # neighboring bin when it lands within f32 ulp of a bin
+            # edge; require conservation + almost-everywhere equality
+            got, want = np.asarray(got), np.asarray(want)
+            np.testing.assert_allclose(
+                got.sum(axis=(0, 1)), want.sum(axis=(0, 1)),
+                rtol=1e-5, atol=1e-6 * np.abs(want).max())
+            bad = ~np.isclose(got, want, rtol=2e-4,
+                              atol=1e-6 * np.abs(want).max())
+            assert bad.mean() < 1e-3, f"{bad.sum()} flipped cells"
+
+        assert_d2n_close(d2n_tot, want_d2n)
+        assert_d2n_close(d2n_ef, want_ef)
+
     def test_zone_populations_scaling(self):
         x = np.array([-1e30, -100.0, -1.0, 0.0, 1.0, 100.0, 1e30])
         ux = np.full(7, 1e8)

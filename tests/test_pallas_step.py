@@ -70,6 +70,66 @@ class TestPrimitives:
                 np.testing.assert_array_equal(bb, a, err_msg=name)
 
 
+class TestSupportGate:
+    def test_baseline_config_is_megakernel_supported(self):
+        """The reference-parity baseline (configs/baseline.toml, the
+        key-for-key mirror of /root/reference/mc_in.toml with tcuts ON
+        and energy-transfer-frac 0.1) must be inside the megakernel's
+        static support set for BOTH species — the flagship workload
+        may not be locked out of the fastest engine."""
+        import os
+        from montecarloscattering_jl_tpu.engine.run import TransportEngine
+        from montecarloscattering_jl_tpu.engine.setup import build_setup
+        from montecarloscattering_jl_tpu.utils import load_config
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(os.path.join(root, "configs", "baseline.toml"))
+        setup = build_setup(cfg)
+        eng = TransportEngine(setup, p_dtype=jnp.float32)
+        for i_ion in range(cfg.n_ions):
+            ss = eng.step_static(i_ion)
+            assert ps.megakernel_supported(ss, jnp.float32, jnp.float32), (
+                f"species {i_ion} (aa={cfg.species[i_ion].aa})")
+
+
+@pytest.mark.slow
+class TestSlidingWindow:
+    """The sliding momentum-window tally path (large-PSD configs) must
+    reproduce the full-accumulator path EXACTLY when nothing drops:
+    the in-kernel band contraction sees identical window-relative
+    cells, so only the scatter offset differs."""
+
+    def test_windowed_drain_matches_full(self, monkeypatch):
+        import __graft_entry__ as ge
+        from montecarloscattering_jl_tpu.ops import state as stt
+        # cap the drain at 6 launches x 256 steps: every launch still
+        # re-anchors + scatters the window, interpret mode stays cheap
+        monkeypatch.setattr(ps, "MAX_HELIX_STEPS", 1536)
+        setup, state, tal, grids, sc, ss = ge._build(
+            batch=256, p_dtype=jnp.float32)
+        n_cells = tal.psd_diff.shape[0]
+        full_pad = -(-n_cells // 128) * 128
+        s1, t1 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=256,
+                                     interpret=True)
+        # force the window to half the array: the drive must re-anchor
+        # per launch and scatter into the full HBM array
+        cap = max(128, (full_pad // 2 // 128) * 128)
+        monkeypatch.setenv("MCS_MEGA_WINDOW", str(cap))
+        monkeypatch.setenv("MCS_MEGA_BAND", str(min(2048, cap)))
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=256,
+                                     interpret=True)
+        f1 = stt.finalize_tallies(t1)
+        f2 = stt.finalize_tallies(t2)
+        np.testing.assert_allclose(
+            np.asarray(f2.psd), np.asarray(f1.psd), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(f2.therm_psd), np.asarray(f1.therm_psd),
+            rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s2.status),
+                                      np.asarray(s1.status))
+
+
 @pytest.mark.slow
 class TestMegaSegmentStatistical:
     """Full drain of the DSA test population: megakernel (interpret)

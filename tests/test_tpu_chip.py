@@ -88,10 +88,74 @@ class TestChipHybridLadder:
         esc = EscapeTallies.zeros(setup.bins.n_mom, setup.bins.n_theta)
         st, tl, esc, n_new, nsteps, oob = ps.run_ion_mega_hybrid(
             state, tal, esc, grids, sc, ss, pcuts, prevs, targets, keys)
-        assert float(oob) == 0.0
+        assert float(np.asarray(oob)[0]) == 0.0
         n_new = np.asarray(n_new)
         assert n_new[0] > 0, "no lanes reached the first pcut"
         assert int(np.asarray(nsteps, np.uint64).sum()) > 0
+
+
+class TestChipBaselineWindow:
+    def test_baseline_segment_rides_sliding_window(self):
+        """Drain one segment of the reference-parity baseline config
+        (55,040-cell PSD — over the VMEM cap, so the drive MUST use
+        the sliding momentum window) on the real chip: dropped weight
+        within tolerance, tallies land in the boost-dominated band."""
+        if jax.default_backend() != "tpu":
+            pytest.skip("no TPU backend")
+        import os
+
+        from montecarloscattering_jl_tpu.engine.run import TransportEngine
+        from montecarloscattering_jl_tpu.engine.setup import build_setup
+        from montecarloscattering_jl_tpu.models.injection import init_pop
+        from montecarloscattering_jl_tpu.ops import pallas_step as ps
+        from montecarloscattering_jl_tpu.ops import state as stt
+        from montecarloscattering_jl_tpu.utils import load_config
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(os.path.join(root, "configs", "baseline.toml"))
+        cfg.dont_scatter = False
+        cfg.dont_dsa = False
+        setup = build_setup(cfg)
+        eng = TransportEngine(setup, p_dtype=jnp.float32)
+        ss = eng.step_static(0)
+        n_cells = (setup.bins.n_mom + 1) * 2 * (setup.bins.n_theta + 1)
+        _, acc, full = ps._tally_geom(n_cells)
+        assert acc < full, "baseline must exercise the window"
+
+        prof = setup.profile
+        grids = eng.segment_grids(prof)
+        sc = eng.segment_scalars(0, 0, prof.bmag2)
+        rng = np.random.default_rng(7)
+        pop = init_pop(
+            rng, cfg.species, 0, cfg.inp_distr, cfg.energy_inj,
+            cfg.inj_weight, 4096, setup.x_grid_start, cfg.rg0,
+            cfg.eta_mfp, cfg.do_fast_push, cfg.x_fast_stop_rg,
+            cfg.beta0, cfg.gamma0, cfg.u0, setup.x_grid_rg,
+            prof.ux_sk, prof.gamma_sf)
+        b = 4096
+        pad = lambda a, fill=0.0: np.concatenate(
+            [np.asarray(a), np.full(b - len(a), fill,
+                                    np.asarray(a).dtype)])
+        state = stt.init_state(
+            pad(pop.weight), pad(pop.ptot_pf), pad(pop.pb_pf),
+            pad(pop.x_cm), pad(pop.i_grid).astype(np.int32),
+            pad(prof.ux_sk[pop.i_grid]), cfg.xn_per_fine,
+            setup.x_grid_stop, jax.random.key(11),
+            p_dtype=jnp.float32)
+        tal = stt.make_tallies(setup.nb, setup.bins.n_mom,
+                               setup.bins.n_theta, len(cfg.x_spec),
+                               eng.n_tcut_slots, jnp.float32, batch=b,
+                               chunk=eng.tally_chunk,
+                               p_dtype=jnp.float32)
+        # raises via check_oob inside if dropped weight > tolerance
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss)
+        fin = stt.finalize_tallies(t2)
+        w_ip = (np.abs(np.asarray(fin.psd)).sum(axis=(1, 2))
+                + np.abs(np.asarray(fin.therm_psd)).sum(axis=(1, 2)))
+        assert w_ip.sum() > 0
+        # boost-dominated support: the bulk must sit decades above the
+        # plasma thermal bin (p_sk ~ gamma0 m u0)
+        assert int(np.argmax(w_ip)) > setup.bins.n_mom // 4
 
 
 if __name__ == "__main__":
