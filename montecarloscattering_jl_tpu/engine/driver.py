@@ -73,6 +73,7 @@ class RunResult:
     n_pushes: int = 0
     n_trajectories: int = 0
     timers: object = None   # PhaseTimers
+    subtimers: object = None  # MCS_SUBTIMERS=1 transport breakdown
 
     @property
     def last(self) -> IterationResult:
@@ -287,6 +288,7 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     result.n_pushes = engine.n_pushes_total
     result.n_trajectories = engine.n_trajectories_total
     result.timers = timers
+    result.subtimers = dict(engine.subtimers) or None
 
     if out_dir is not None:
         from .io import write_outputs

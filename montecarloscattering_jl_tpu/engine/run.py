@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 import math
 import os
+import time
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 import jax
@@ -105,6 +107,7 @@ class TransportEngine:
         self.n_tcut_slots = max(len(cfg.tcuts), 1)
         self.base_key = jax.random.key(cfg.random_seed)
         self._sharded_seg = {}
+        self.subtimers = defaultdict(float)   # MCS_SUBTIMERS=1 breakdown
         if self.mesh is not None and self.mesh.size > 1:
             from ..parallel.shard import pad_to_devices
             self.batch_size = pad_to_devices(self.batch_size,
@@ -246,6 +249,11 @@ class TransportEngine:
         setup, cfg, bins = self.setup, self.setup.cfg, self.setup.bins
         s = cfg.species[i_ion]
         nb, b = setup.nb, self.batch_size
+        # MCS_SUBTIMERS=1: attribute the transport phase to
+        # [population setup | ladder | tally fetch] in self.subtimers
+        # (adds two device syncs per species — measurement runs only)
+        _subt = os.environ.get("MCS_SUBTIMERS", "0") == "1"
+        _t0 = time.perf_counter() if _subt else 0.0
 
         grids = self.segment_grids(prof, eps_target=it.eps_target,
                                    recv_pool=it.energy_pool)
@@ -290,6 +298,11 @@ class TransportEngine:
         trajectories = n0
 
         p_pcut_hi = pcut_hi_momentum(cfg.energy_pcut_hi, s.mass)
+
+        if _subt:
+            jax.block_until_ready(state.weight)
+            self.subtimers["pop_setup"] += time.perf_counter() - _t0
+            _t0 = time.perf_counter()
 
         if self.fused and (self.mesh is None or self.mesh.size <= 1):
             # Fused ladders: on-device splitting between segments
@@ -365,6 +378,10 @@ class TransportEngine:
                     np.concatenate([[0.0], cfg.pcuts[:-1]]),
                     np.asarray(n_targets), seg_keys,
                     compact_levels=lv)
+            if _subt:
+                jax.block_until_ready(nsteps)
+                self.subtimers["ladder"] += time.perf_counter() - _t0
+                _t0 = time.perf_counter()
             fin = stt.finalize_tallies(tal)
             it.pxx_flux += np.asarray(fin.pxx_flux)
             it.pxz_flux += np.asarray(fin.pxz_flux)
@@ -389,6 +406,8 @@ class TransportEngine:
             trajectories += int(np.asarray(n_new, np.int64).sum())
             self.n_pushes_total += pushes
             self.n_trajectories_total += trajectories
+            if _subt:
+                self.subtimers["tally_fetch"] += time.perf_counter() - _t0
             return IonResult(
                 psd=psd_acc, therm_psd=therm_acc,
                 num_crossings=ncross_acc,

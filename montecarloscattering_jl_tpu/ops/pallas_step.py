@@ -1302,17 +1302,28 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     margin = _win_margin()
     acc_rows = min(n_cells_pad, max(_win_cap_rows(), band))
     key = (cfg_key, band, n_cells_pad, acc_rows, n_blocks, n_steps,
-           margin, interpret)
+           margin, os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
+           interpret)
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
 
     windowed = acc_rows < n_cells_pad
-    kern = functools.partial(_mega_kernel, band=band,
-                             n_cells_pad=acc_rows,
-                             n_steps=n_steps, cfg=cfg)
     rt = n_blocks * _ROWS
     tc_pad = cfg["tc_pad"]
     slab = 2 * (cfg["n_theta"] + 1)
+    # Drain-tail amortization: once the live population has shrunk to
+    # a fraction of the batch, per-launch FIXED costs (kernel
+    # prologue, drive-body overhead, act reduction, partition cond)
+    # dominate the few active blocks' compute, so the drive switches
+    # to MCS_MEGA_TAIL_MULT-x longer launches.  The in-kernel RNG
+    # counter is the per-lane step count (_uniforms), so launch length
+    # does not perturb any lane's random stream, and the 10k helix cap
+    # is enforced in-kernel; only the f32 tally accumulation grouping
+    # changes.  Windowed configs keep fixed launches — the sliding
+    # window's re-anchor margin is calibrated to a single-launch
+    # acceleration horizon.
+    tail_mult = int(os.environ.get("MCS_MEGA_TAIL_MULT", "4"))
+    adaptive = tail_mult > 1 and not windowed
 
     def window_base(scf, fs, is_):
         """Window base cell from the live lanes: top-anchored at the
@@ -1343,7 +1354,13 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                          jnp.int32(0)) * jnp.int32(slab)
         return jnp.minimum(cb, jnp.int32(n_cells_pad - acc_rows))
 
-    def launch(scf, fs, is_, xg, zs, et):
+    def make_launch(n_steps_l):
+        kern = functools.partial(_mega_kernel, band=band,
+                                 n_cells_pad=acc_rows,
+                                 n_steps=n_steps_l, cfg=cfg)
+        return functools.partial(_launch_impl, kern)
+
+    def _launch_impl(kern, scf, fs, is_, xg, zs, et):
         act = (jnp.max((is_[I_STATUS] == ACTIVE).astype(jnp.int32)
                        .reshape(n_blocks, -1), axis=1))
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1398,6 +1415,11 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         n_oob = jnp.sum(aux[A_OVERFLOW])
         return fs2, is2, psd_d, aux, tc_d, n_active, n_oob
 
+    launch = make_launch(n_steps)
+    launch_tail = make_launch(n_steps * tail_mult) if adaptive else None
+    # active-lane count below which the longer tail launches kick in
+    tail_below = max((rt * LANE) // 8, _ROWS * LANE)
+
     max_launches = MAX_HELIX_STEPS // n_steps + 2
 
     def drive(scf, fs, is_, xg, zs, et, orig):
@@ -1408,7 +1430,10 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
         tc0 = jnp.zeros((tc_pad, ZPAD), jnp.float32)
         k0 = jnp.int32(0)
-        n0 = jnp.int32(1)
+        # exact live count at entry so a weakly-populated state (e.g.
+        # after a thin pcut split) rides tail launches immediately
+        n0 = jnp.sum((is_[I_STATUS] == ACTIVE).astype(jnp.int32),
+                     dtype=jnp.int32)
         packed0 = jnp.int32(n_blocks * _ROWS * LANE)
 
         def cond(c):
@@ -1416,15 +1441,20 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
             return (n_act > 0) & (k < max_launches)
 
         def body(c):
-            fs, is_, psd, aux, tc, orig, k, _, packed = c
+            fs, is_, psd, aux, tc, orig, k, n_prev, packed = c
             if windowed:
                 cb = window_base(scf, fs, is_)
                 scf_l = scf.at[23].set(cb.astype(jnp.float32))
             else:
                 cb = jnp.int32(0)
                 scf_l = scf
-            fs, is_, psd_d, aux_d, tc_d, n_act, _ = launch(
-                scf_l, fs, is_, xg, zs, et)
+            if adaptive:
+                fs, is_, psd_d, aux_d, tc_d, n_act, _ = lax.cond(
+                    n_prev <= jnp.int32(tail_below), launch_tail,
+                    launch, scf_l, fs, is_, xg, zs, et)
+            else:
+                fs, is_, psd_d, aux_d, tc_d, n_act, _ = launch(
+                    scf_l, fs, is_, xg, zs, et)
             if windowed:
                 cur = lax.dynamic_slice(psd, (cb, jnp.int32(0)),
                                         (acc_rows, ZPAD))
@@ -1671,11 +1701,24 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     pcuts_h = np.asarray(pcuts, np.float64)
     prevs_h = np.asarray(pcut_prevs, np.float64)
     targets_h = np.asarray(n_targets, np.int64)
-    n_new_out = np.zeros(n_seg, np.int64)
-    nsteps_out = np.zeros(n_seg, np.uint64)
     oob_acc = jnp.zeros((3,), jnp.float64)
     p_dtype = state.pb.dtype
 
+    # Dispatch segments WITHOUT a per-segment host sync: under the
+    # remote relay every blocking fetch costs a ~25 ms round trip AND
+    # drains the dispatch pipeline, so the former int(n_new)-per-pcut
+    # loop serialized [sync -> dispatch -> drain] 45x per species.
+    # The reference's pcut_finalize early break (cuts.jl:115-119) is
+    # instead checked every MCS_HYBRID_SYNC_EVERY segments (0 = never):
+    # a segment dispatched after the chain died is a cheap no-op — the
+    # split leaves every lane FINISHED with zero weight, the drive's
+    # per-block activity skip drops the whole first launch, and
+    # finish_particles masks weight > 0 — so over-dispatching a few
+    # dead segments is cheaper than syncing on every live one.
+    sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
+    n_new_d: list = []
+    nsteps_d: list = []
+    n_done = 0
     for i in range(n_seg):
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
@@ -1685,12 +1728,23 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
             jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
             seg_keys[i])
         oob_acc = oob_acc + oob
-        # one ~25 ms host sync per segment buys the reference's exact
-        # pcut_finalize early break (cuts.jl:115-119)
-        n_new_out[i] = int(n_new)
-        nsteps_out[i] = np.uint64(nsteps)
-        if n_new_out[i] == 0:
+        n_new_d.append(n_new)
+        nsteps_d.append(nsteps)
+        n_done = i + 1
+        if sync_every and n_done % sync_every == 0 \
+                and int(n_new) == 0:
             break
+
+    n_new_out = np.zeros(n_seg, np.int64)
+    nsteps_out = np.zeros(n_seg, np.uint64)
+    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
+    nsteps_out[:n_done] = np.asarray(jnp.stack(nsteps_d), np.uint64)
+    # report the same tail as the host splitter: segments past the
+    # first die-out ran as no-ops and stay zero
+    dead = np.flatnonzero(n_new_out[:n_done] == 0)
+    if dead.size:
+        n_new_out[dead[0] + 1:] = 0
+        nsteps_out[dead[0] + 1:] = 0
     return (state, tallies, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out), oob_acc)
 

@@ -65,6 +65,10 @@ def main() -> None:
               f"en_esc={itr.en_esc_frac:.4f} pxx_norm_max={pxx:.3f}")
     print("timers:", {k: round(v, 1)
                       for k, v in res.timers.totals.items()})
+    sub = getattr(res, "subtimers", None)
+    if sub:
+        print("transport breakdown:", {k: round(v, 1)
+                                       for k, v in sub.items()})
 
 
 if __name__ == "__main__":

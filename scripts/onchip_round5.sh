@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-5 on-chip validation + measurement sequence (run when the TPU
+# tunnel is live).  Each stage appends to /tmp/onchip_r5.log.
+set -x
+LOG=/tmp/onchip_r5.log
+cd /root/repo
+
+echo "=== tpu tier ===" >> $LOG
+MCS_TPU_TESTS=1 timeout 3000 python -m pytest tests -m tpu -x -q >> $LOG 2>&1
+
+echo "=== bench ===" >> $LOG
+timeout 3000 python bench.py >> $LOG 2>&1
+
+echo "=== probe_launch_steps 65536 ===" >> $LOG
+timeout 2000 python scripts/probe_launch_steps.py --batch 65536 >> $LOG 2>&1
+
+echo "=== probe_mega_hybrid 65536 (hybrid only) ===" >> $LOG
+timeout 2000 python scripts/probe_mega_hybrid.py --batch 65536 --skip A,B >> $LOG 2>&1
+
+echo "=== flagship nonlinear 10 iters ===" >> $LOG
+timeout 3000 python scripts/flagship_nonlinear.py >> $LOG 2>&1
+
+echo "=== flagship baseline (as-shipped) ===" >> $LOG
+timeout 3000 python scripts/flagship_baseline.py >> $LOG 2>&1
+
+echo "=== done ===" >> $LOG

@@ -92,6 +92,58 @@ class TestSupportGate:
 
 
 @pytest.mark.slow
+class TestAdaptiveTailLaunch:
+    """Tail launches (MCS_MEGA_TAIL_MULT-x longer once the live
+    population shrinks) must be bitwise-neutral per TRAJECTORY: the
+    RNG counter is the per-lane step count carried with the lane, so
+    where a launch boundary falls cannot change any lane's physics.
+    Tallies are only statistically equal — the stochastic-rounding
+    dither is keyed by the lane's CURRENT slot, and the partition
+    schedule (hence slot assignment) differs between launch
+    lengths."""
+
+    def test_tail_mult_matches_fixed(self, monkeypatch):
+        import __graft_entry__ as ge
+        from montecarloscattering_jl_tpu.ops import state as stt
+        # cap the drain (12 launches x 128 steps at mult=1) so the
+        # interpret-mode run stays cheap; the tail branch fires well
+        # before the cap (thermal attrition kills most of a 256-lane
+        # batch inside the first two launches)
+        monkeypatch.setattr(ps, "MAX_HELIX_STEPS", 1536)
+        # the launch cache does not key on MAX_HELIX_STEPS: drop any
+        # drive compiled by earlier tests with the unpatched cap
+        monkeypatch.setattr(ps, "_LAUNCH_CACHE", {})
+        setup, state, tal, grids, sc, ss = ge._build(
+            batch=256, p_dtype=jnp.float32)
+        # small launches so the drain needs several and the tail
+        # branch actually fires once attrition bites
+        monkeypatch.setenv("MCS_MEGA_TAIL_MULT", "1")
+        s1, t1 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=128,
+                                     interpret=True)
+        monkeypatch.setenv("MCS_MEGA_TAIL_MULT", "4")
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=128,
+                                     interpret=True)
+        np.testing.assert_array_equal(np.asarray(s2.status),
+                                      np.asarray(s1.status))
+        np.testing.assert_array_equal(np.asarray(s2.nsteps),
+                                      np.asarray(s1.nsteps))
+        np.testing.assert_allclose(np.asarray(s2.pb),
+                                   np.asarray(s1.pb), rtol=0, atol=0)
+        f1 = stt.finalize_tallies(t1)
+        f2 = stt.finalize_tallies(t2)
+        # identical records, slot-keyed bf16 SR dither: totals agree
+        # to the dither noise, not bitwise
+        assert abs(float(f2.psd.sum()) - float(f1.psd.sum())) <= (
+            1e-3 * abs(float(f1.psd.sum())))
+        p1 = np.asarray(f1.pxx_flux)
+        p2 = np.asarray(f2.pxx_flux)
+        np.testing.assert_allclose(p2, p1, rtol=5e-3,
+                                   atol=5e-3 * np.abs(p1).max())
+
+
+@pytest.mark.slow
 class TestSlidingWindow:
     """The sliding momentum-window tally path (large-PSD configs) must
     reproduce the full-accumulator path EXACTLY when nothing drops:
@@ -104,6 +156,9 @@ class TestSlidingWindow:
         # cap the drain at 6 launches x 256 steps: every launch still
         # re-anchors + scatters the window, interpret mode stays cheap
         monkeypatch.setattr(ps, "MAX_HELIX_STEPS", 1536)
+        # the launch cache does not key on MAX_HELIX_STEPS: drop any
+        # drive compiled by earlier tests with the unpatched cap
+        monkeypatch.setattr(ps, "_LAUNCH_CACHE", {})
         setup, state, tal, grids, sc, ss = ge._build(
             batch=256, p_dtype=jnp.float32)
         n_cells = tal.psd_diff.shape[0]
