@@ -304,7 +304,25 @@ class TransportEngine:
             self.subtimers["pop_setup"] += time.perf_counter() - _t0
             _t0 = time.perf_counter()
 
-        if self.fused and (self.mesh is None or self.mesh.size <= 1):
+        mesh_n = 0 if self.mesh is None else self.mesh.size
+        use_mesh_hybrid = False
+        if self.fused and mesh_n > 1:
+            # Mesh twin of the hybrid ladder: every shard runs the same
+            # [drain -> finish -> split] program per pcut, accumulators
+            # stay on device until one reduction per ion
+            # (parallel/shard.sharded_hybrid_seg).  Falls back to the
+            # host-split per-pcut loop below when the megakernel can't
+            # run this config or shards don't align to its block.
+            from ..ops import pallas_step as pstep
+            shard_lanes = self.batch_size // mesh_n
+            block = pstep._ROWS * pstep.LANE
+            use_mesh_hybrid = (
+                pstep.megakernel_ok(ss, self.p_dtype, self.psd_dtype)
+                and shard_lanes % block == 0
+                and os.environ.get("MCS_MESH_MEGA", "1") == "1"
+                and os.environ.get("MCS_MEGA_FUSED", "1") == "1")
+
+        if self.fused and (mesh_n <= 1 or use_mesh_hybrid):
             # Fused ladders: on-device splitting between segments
             # (ops/fused_ion.py) kills the ~45 host round trips of the
             # per-pcut loop below.  Engine selection:
@@ -352,7 +370,25 @@ class TransportEngine:
                                            65536))
 
             n_psd_cells = (bins.n_mom + 1) * 2 * (bins.n_theta + 1)
-            if use_mega and mega_mode != "scan":
+            if use_mesh_hybrid:
+                from ..parallel.shard import (
+                    run_ion_mega_hybrid_sharded, shard_state,
+                    sharded_hybrid_seg, stack_ion_accumulators)
+                cache_key = ("hybrid", ss)
+                if cache_key not in self._sharded_seg:
+                    self._sharded_seg[cache_key] = sharded_hybrid_seg(
+                        self.mesh, ss, n_psd_cells)
+                tal_st, esc_st = stack_ion_accumulators(tal, esc, mesh_n)
+                state = shard_state(state, self.mesh)
+                state, tal, esc, n_new, nsteps, oob = (
+                    run_ion_mega_hybrid_sharded(
+                        self._sharded_seg[cache_key], self.mesh,
+                        state, tal_st, esc_st, grids, sc, ss,
+                        np.asarray(cfg.pcuts),
+                        np.concatenate([[0.0], cfg.pcuts[:-1]]),
+                        np.asarray(n_targets), seg_keys))
+                pstep.check_oob(oob, n_psd_cells)
+            elif use_mega and mega_mode != "scan":
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_mega_hybrid(
                         state, tal, esc, grids, sc, ss,

@@ -27,8 +27,8 @@ from .state import ACTIVE, FINISHED, SAVED, ParticleState, Tallies
 from .step import SegmentGrids, SegmentScalars, StepStatic, run_segment
 
 
-def split_on_device(state: ParticleState, n_target, seg_key
-                    ) -> tuple[ParticleState, jnp.ndarray]:
+def split_on_device(state: ParticleState, n_target, seg_key,
+                    lane_offset=0) -> tuple[ParticleState, jnp.ndarray]:
     """Build the next pcut population from SAVED lanes without leaving
     the device (new_pcut, cuts.jl:34-98; host twin: ops/cuts.py).
 
@@ -37,6 +37,11 @@ def split_on_device(state: ParticleState, n_target, seg_key
     produces in the host splitter.  Returns (new state, n_new) where
     n_new = n_saved * i_mult; with nothing saved every lane comes out
     FINISHED with zero weight (and subsequent segments no-op).
+
+    ``lane_offset`` shifts the per-lane RNG fold-in index: under a
+    device mesh each shard splits its own lanes, and keys must be
+    derived from the GLOBAL lane index (offset = shard * shard_b) so
+    no two shards reuse a stream (parallel/shard.sharded_hybrid_seg).
     """
     b = state.weight.shape[0]
     saved = state.status == SAVED
@@ -51,7 +56,8 @@ def split_on_device(state: ParticleState, n_target, seg_key
     g = lambda a: a[src]
     p_dtype = state.pb.dtype
     lane_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
-        seg_key, jnp.arange(b, dtype=jnp.uint32))
+        seg_key,
+        jnp.arange(b, dtype=jnp.uint32) + jnp.uint32(lane_offset))
 
     new = ParticleState(
         weight=jnp.where(valid, g(state.weight) / i_mult,

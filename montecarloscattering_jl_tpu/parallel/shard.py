@@ -131,6 +131,188 @@ def sharded_segment_mega(mesh: Mesh, ss: stp.StepStatic,
     return jax.jit(seg, donate_argnums=(0, 1))
 
 
+def _stacked_tally_spec() -> stt.Tallies:
+    """Specs for per-shard tally accumulators with a leading device
+    axis (see stack_ion_accumulators)."""
+    return stt.Tallies(*[P(DP_AXIS) for _ in stt.Tallies._fields]
+                       )._replace(rec=P(None, None, DP_AXIS))
+
+
+def stack_ion_accumulators(tal: stt.Tallies, esc, n: int):
+    """Per-shard accumulators for the sharded hybrid ladder.
+
+    Tally/escape fields are plain sums with no lane axis.  Across the
+    ~45 donated segment programs of one ion they must accumulate
+    per-shard — a psum per segment would re-reduce the already-summed
+    carry and multiply earlier contributions by the mesh size — so each
+    shard owns row d of a stacked [n, ...] array and ONE reduction at
+    ion end (reduce_ion_accumulators) replaces the per-segment psum.
+    The `rec` scratch keeps its lane axis and shards with the batch.
+    """
+    tal_st = stt.Tallies(**{
+        k: (getattr(tal, k) if k == "rec"
+            else jnp.zeros((n,) + getattr(tal, k).shape,
+                           getattr(tal, k).dtype))
+        for k in stt.Tallies._fields})
+    esc_st = jax.tree.map(
+        lambda x: jnp.zeros((n,) + x.shape, x.dtype), esc)
+    return tal_st, esc_st
+
+
+@jax.jit
+def reduce_ion_accumulators(tal_st: stt.Tallies, esc_st):
+    """Sum the per-shard accumulator rows (one device program, run
+    once per ion before the tally fetch)."""
+    tal = stt.Tallies(**{
+        k: (getattr(tal_st, k) if k == "rec"
+            else getattr(tal_st, k).sum(axis=0))
+        for k in stt.Tallies._fields})
+    esc = jax.tree.map(lambda x: x.sum(axis=0), esc_st)
+    return tal, esc
+
+
+def sharded_hybrid_seg(mesh: Mesh, ss: stp.StepStatic,
+                       n_tallies_cells: int, n_steps: int = 0,
+                       interpret: bool = False):
+    """One pcut segment of the megakernel hybrid ladder under the
+    mesh: [drain -> escape binning -> per-shard split] as ONE jitted
+    shard_map program (the mesh twin of
+    ops/pallas_step._get_hybrid_seg).
+
+    Each shard drains its own lane block with the Pallas drive and
+    splits its own SAVED lanes to ``n_target / mesh.size`` (remainder
+    spread over the low shards, so the global target is exact).  Lane
+    RNG keys fold in the GLOBAL lane index (axis_index * shard_b
+    offset), so no two shards share a stream.  Unlike the host-split
+    mesh path, lane placement after a split depends on which shard
+    saved a lane — statistically equivalent, not bitwise
+    mesh-shape-invariant (tests/test_mesh_hybrid.py pins both
+    properties).
+
+    Tallies/escapes accumulate per-shard in stacked [size, ...] rows
+    (stack_ion_accumulators); n_new / nsteps / oob come back psum'd.
+
+    Returns f(state, tal_st, esc_st, grids, sc, xg, zs, et, tail,
+    seed_f, n_target, key) ->
+    (state, tal_st, esc_st, n_new, nsteps_f64, oob)."""
+    import os
+
+    from ..ops import pallas_step as ps
+    from ..ops.finish import EscapeTallies, finish_particles
+    from ..ops.fused_ion import split_on_device
+
+    state_spec = _state_spec()
+    tally_spec = _stacked_tally_spec()
+    esc_spec = EscapeTallies(
+        *[P(DP_AXIS) for _ in EscapeTallies._fields])
+    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+               -(-n_tallies_cells // 128) * 128)
+    n_cells_pad = -(-max(n_tallies_cells, band) // 128) * 128
+    n_steps = n_steps or ps._STEPS
+    size = mesh.size
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(state_spec, tally_spec, esc_spec,
+                       P(), P(), P(), P(), P(), P(), P(), P(), P()),
+             out_specs=(state_spec, tally_spec, esc_spec,
+                        P(), P(), P()),
+             check_vma=False)
+    def seg(st, tl, es, grids, sc, xg, zs, et, tail, seed_f,
+            n_target, key):
+        d = jax.lax.axis_index(DP_AXIS)
+        # stacked rows arrive [1, ...] per shard; rec keeps its lanes
+        tl_l = stt.Tallies(**{
+            k: (getattr(tl, k) if k == "rec" else getattr(tl, k)[0])
+            for k in stt.Tallies._fields})
+        es_l = jax.tree.map(lambda x: x[0], es)
+        x_grid = jnp.asarray(grids.x_grid)
+        tcv = jnp.asarray(grids.tcuts).astype(jnp.float32)
+        st, tl_l, oob = ps.mega_segment_traced(
+            st, tl_l, x_grid, xg, zs, et, tail, tcv, seed_f, sc, ss,
+            band, n_cells_pad, n_steps, interpret=interpret)
+        es_l = finish_particles(st, es_l, grids, sc, ss)
+        # f64 keeps the psum on a supported reduce dtype; exact to 2^53
+        nsteps = jax.lax.psum(
+            jnp.sum(st.nsteps.astype(jnp.float64)), DP_AXIS)
+        shard_b = st.weight.shape[0]
+        nt_l = (n_target // size
+                + (d < n_target % size).astype(n_target.dtype))
+        st, n_new_l = split_on_device(st, nt_l, key,
+                                      lane_offset=d * shard_b)
+        n_new = jax.lax.psum(n_new_l, DP_AXIS)
+        oob = jax.lax.psum(oob, DP_AXIS)
+        tl = stt.Tallies(**{
+            k: (getattr(tl_l, k) if k == "rec"
+                else getattr(tl_l, k)[None])
+            for k in stt.Tallies._fields})
+        es = jax.tree.map(lambda x: x[None], es_l)
+        return st, tl, es, n_new, nsteps, oob
+
+    return jax.jit(seg, donate_argnums=(0, 1, 2))
+
+
+def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
+                                esc_st, grids, sc, ss,
+                                pcuts, pcut_prevs, n_targets, seg_keys):
+    """Mesh twin of ops/pallas_step.run_ion_mega_hybrid: drive the
+    whole pcut ladder as a host loop of sharded hybrid segment
+    programs with NO per-segment host sync (the chain-death early
+    break is checked every MCS_HYBRID_SYNC_EVERY segments on the
+    psum'd n_new — a dead segment is a structural no-op).
+
+    Returns (state, tal, esc, n_new[n_seg], nsteps[n_seg], oob) with
+    the stacked accumulators already reduced over shards."""
+    import os
+
+    from ..ops import pallas_step as ps
+
+    xg, zs, et, tail = ps._mega_prep(
+        jnp.asarray(grids.x_grid), jnp.asarray(grids.ux),
+        jnp.asarray(grids.gamma_sf), jnp.asarray(grids.gamma_ef),
+        jnp.asarray(grids.btot), jnp.asarray(grids.eps_target),
+        jnp.asarray(grids.recv_prefix), nb=int(ss.nb))
+
+    n_seg = len(pcuts)
+    pcuts_h = np.asarray(pcuts, np.float64)
+    prevs_h = np.asarray(pcut_prevs, np.float64)
+    targets_h = np.asarray(n_targets, np.int64)
+    oob_acc = jnp.zeros((3,), jnp.float64)
+    p_dtype = state.pb.dtype
+
+    sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
+    n_new_d: list = []
+    nsteps_d: list = []
+    n_done = 0
+    for i in range(n_seg):
+        sci = sc._replace(
+            pcut=jnp.asarray(pcuts_h[i], p_dtype),
+            pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
+        state, tal_st, esc_st, n_new, nsteps, oob = seg_fn(
+            state, tal_st, esc_st, grids, sci, xg, zs, et, tail,
+            jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
+            seg_keys[i])
+        oob_acc = oob_acc + oob
+        n_new_d.append(n_new)
+        nsteps_d.append(nsteps)
+        n_done = i + 1
+        if sync_every and n_done % sync_every == 0 \
+                and int(n_new) == 0:
+            break
+
+    n_new_out = np.zeros(n_seg, np.int64)
+    nsteps_out = np.zeros(n_seg, np.uint64)
+    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
+    nsteps_out[:n_done] = np.asarray(
+        jnp.stack(nsteps_d), np.float64).astype(np.uint64)
+    dead = np.flatnonzero(n_new_out[:n_done] == 0)
+    if dead.size:
+        n_new_out[dead[0] + 1:] = 0
+        nsteps_out[dead[0] + 1:] = 0
+    tal, esc = reduce_ion_accumulators(tal_st, esc_st)
+    return (state, tal, esc, jnp.asarray(n_new_out),
+            jnp.asarray(nsteps_out), oob_acc)
+
+
 def shard_state(state: stt.ParticleState, mesh: Mesh) -> stt.ParticleState:
     """Place a host-built state onto the mesh, lanes sharded."""
     return jax.tree.map(

@@ -135,6 +135,57 @@ def check_pcuts(pcuts: Sequence[float], emax: float, emax_per_aa: float,
         raise ConfigError("unexpected: no maximum energy set")
 
 
+def auto_pcut_ladder(p_start: float, per_decade: int, emax: float,
+                     emax_per_aa: float, pmax: float) -> list[float]:
+    """Geometric pcut ladder from ``p_start`` [g cm/s] with
+    ``per_decade`` splitting levels per decade of momentum, up to the
+    configured maximum energy (plus one guard level).
+
+    Extension beyond the reference (which requires the explicit
+    ``momentum-cutoffs`` list, mc_in.toml:84-130): the shipped baseline
+    ladder opens a factor-60 gap between its first two levels, which no
+    particle population can climb when the per-cycle return probability
+    is low (e.g. P_ret ~ 0.25 at gamma0 = 5) — splitting statistics
+    collapse and the spectrum never fills.  A dense geometric ladder
+    keeps the per-level momentum gain small enough that a target-count
+    population always survives to the next split.
+
+    The top is chosen so the second-highest level passes check_pcuts'
+    coverage rule and — stricter — reaches the proton momentum at the
+    configured Emax (pmax_cutoff, ion_init.jl:55-72), so splitting
+    continues to the escape momentum for every species.
+    """
+    if per_decade < 1:
+        raise ConfigError("pcuts-per-decade must be >= 1")
+    if p_start <= 0:
+        raise ConfigError("auto pcut ladder needs a positive first "
+                          "momentum-cutoffs entry")
+    e0 = MP_C * C_CGS           # proton rest energy [erg]
+    if pmax > 0:
+        p_need = pmax
+    elif emax > 0:
+        g = 1.0 + emax / e0
+        p_need = MP_C * math.sqrt(g * g - 1.0)
+    elif emax_per_aa > 0:
+        g = 1.0 + emax_per_aa / e0
+        p_need = MP_C * math.sqrt(g * g - 1.0)
+    else:
+        raise ConfigError("unexpected: no maximum energy set")
+    ratio = 10.0 ** (1.0 / per_decade)
+    n_levels = max(int(math.ceil(
+        math.log(p_need / p_start) / math.log(ratio))), 1) + 1
+    pcuts = [p_start * ratio ** i for i in range(n_levels)]
+    if pcuts[-1] < p_need:   # fp rounding at an exact-level boundary
+        pcuts.append(pcuts[-1] * ratio)
+    pcuts.append(pcuts[-1] * ratio)      # guard level
+    if len(pcuts) > NA_C:
+        raise ConfigError(
+            f"pcuts-per-decade={per_decade} needs {len(pcuts)} "
+            f"levels (> NA_C={NA_C}); reduce the density or raise the "
+            "first momentum-cutoffs entry")
+    return pcuts
+
+
 def get_feb(febup, febdw, x_grid_start_rg: float, rg0: float
             ) -> tuple[float, float, bool]:
     """(feb_upstream [cm], feb_downstream [cm], use_prp)
@@ -254,6 +305,7 @@ class RunConfig:
     n_pts_pcut_hi: int = 2000
     energy_pcut_hi: float = 1.0e6    # [keV per aa]
     pcuts: list[float] = field(default_factory=list)    # [g cm/s]
+    pcuts_per_decade: int = 0   # >0: auto geometric ladder (extension)
     # switches
     dont_shock: bool = False
     dont_scatter: bool = False
@@ -367,6 +419,14 @@ def config_from_dict(cfg: dict) -> RunConfig:
         raise ConfigError("Array size NA_PARTICLES too small.")
 
     out.pcuts = [float(p) * MP_C for p in cfg["momentum-cutoffs"]]
+    # Extension: pcuts-per-decade > 0 replaces the explicit ladder with
+    # a geometric one anchored at the first momentum-cutoffs entry
+    # (auto_pcut_ladder above; 0/absent = reference behaviour).
+    out.pcuts_per_decade = int(cfg.get("pcuts-per-decade", 0))
+    if out.pcuts_per_decade > 0:
+        out.pcuts = auto_pcut_ladder(
+            out.pcuts[0], out.pcuts_per_decade, out.emax,
+            out.emax_per_aa, out.pmax)
     check_pcuts(out.pcuts, out.emax, out.emax_per_aa, out.pmax)
 
     out.dont_shock = bool(cfg.get("no-shock", False))

@@ -36,6 +36,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dsa", action="store_true",
                     help="science variant: scattering + DSA + smoothing")
+    ap.add_argument("--pcuts-per-decade", type=int, default=0,
+                    help="replace the shipped 45-pcut ladder with a "
+                    "geometric one (utils.config.auto_pcut_ladder); "
+                    "the shipped ladder's factor-60 first gap cannot "
+                    "be climbed at gamma0=5 where P_ret ~ 0.25")
     ap.add_argument("--iters", type=int, default=0,
                     help="override num-iterations (0 = config value)")
     ap.add_argument("--f64", action="store_true")
@@ -54,6 +59,13 @@ def main() -> None:
         cfg.dont_scatter = False
         cfg.dont_dsa = False
         cfg.do_smoothing = True
+    if args.pcuts_per_decade:
+        from montecarloscattering_jl_tpu.utils.config import (
+            auto_pcut_ladder, check_pcuts)
+        cfg.pcuts = auto_pcut_ladder(
+            cfg.pcuts[0], args.pcuts_per_decade, cfg.emax,
+            cfg.emax_per_aa, cfg.pmax)
+        check_pcuts(cfg.pcuts, cfg.emax, cfg.emax_per_aa, cfg.pmax)
     if args.iters:
         cfg.n_itrs = args.iters
 

@@ -78,6 +78,33 @@ class TestConfig:
         with pytest.raises(ConfigError):
             config_from_dict(bad)
 
+    def test_auto_pcut_ladder(self):
+        """pcuts-per-decade (extension): geometric ladder anchored at
+        the first explicit cut, covering the configured Emax plus one
+        guard level, and passing the reference's check_pcuts rule."""
+        import tomllib
+        with open("configs/baseline.toml", "rb") as f:
+            base = tomllib.load(f)
+        from montecarloscattering_jl_tpu.utils.config import (
+            config_from_dict)
+
+        auto = dict(base); auto["pcuts-per-decade"] = 4
+        cfg = config_from_dict(auto)
+        p = np.asarray(cfg.pcuts)
+        # anchored at the explicit first cut, exact 10^(1/4) spacing
+        assert p[0] == pytest.approx(0.01 * K.MP_C, rel=1e-12)
+        np.testing.assert_allclose(p[1:] / p[:-1], 10.0 ** 0.25,
+                                   rtol=1e-12)
+        # second-highest level reaches the proton momentum at Emax
+        from montecarloscattering_jl_tpu.engine.run import pmax_cutoff
+        p_need = pmax_cutoff(cfg, K.MP_CGS)
+        assert p[-2] >= p_need * (1 - 1e-12) > p[-4]
+        assert len(p) <= 100
+        # too-dense ladders exceed NA_C and reject
+        bad = dict(base); bad["pcuts-per-decade"] = 20
+        with pytest.raises(ConfigError):
+            config_from_dict(bad)
+
 
 # ---------------------------------------------------------------------------
 # Rankine-Hugoniot
