@@ -374,7 +374,8 @@ class TransportEngine:
                 from ..parallel.shard import (
                     run_ion_mega_hybrid_sharded, shard_state,
                     sharded_hybrid_seg, stack_ion_accumulators)
-                cache_key = ("hybrid", ss)
+                cache_key = ("hybrid", ss,
+                             os.environ.get("MCS_MEGA_TAIL_MULT", "4"))
                 if cache_key not in self._sharded_seg:
                     self._sharded_seg[cache_key] = sharded_hybrid_seg(
                         self.mesh, ss, n_psd_cells)

@@ -152,28 +152,33 @@ def run_ion_xla_hybrid(state, tallies, esc, grids, sc, ss,
     262k lanes is solid (bench drain), only the 45-segment lax.scan
     program faulted, so the fix is to not build that program.  Also
     removes the block-divided split-target truncation the blocked
-    path had.  Returns (state, tallies, esc, n_new, nsteps)."""
+    path had.  Segments are async-dispatched through the shared
+    ops/pallas_step.drive_ladder_async (chain-death break checked
+    every MCS_HYBRID_SYNC_EVERY segments, dead segments are no-ops)
+    so this path pays the same ~1 dispatch/pcut as the megakernel
+    hybrid instead of a [sync -> dispatch -> drain] serialization.
+    Returns (state, tallies, esc, n_new, nsteps)."""
     import numpy as np
+
+    from .pallas_step import drive_ladder_async
 
     seg_fn = _get_xla_seg(ss, compact_levels)
     n_seg = len(pcuts)
     pcuts_h = np.asarray(pcuts, np.float64)
     prevs_h = np.asarray(pcut_prevs, np.float64)
     targets_h = np.asarray(n_targets, np.int64)
-    n_new_out = np.zeros(n_seg, np.int64)
-    nsteps_out = np.zeros(n_seg, np.uint64)
     p_dtype = state.pb.dtype
 
-    for i in range(n_seg):
+    def dispatch(i):
+        nonlocal state, tallies, esc
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
             pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
         state, tallies, esc, n_new, nsteps = seg_fn(
             state, tallies, esc, grids, sci,
             jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
-        n_new_out[i] = int(n_new)
-        nsteps_out[i] = np.uint64(nsteps)
-        if n_new_out[i] == 0:
-            break
+        return n_new, nsteps
+
+    n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg)
     return (state, tallies, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out))

@@ -1640,6 +1640,7 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     Mosaic-embedded program that recompiled through the remote relay
     and ran its in-scan drive well below the standalone rate."""
     key = (cfg_key, band, n_cells_pad, _win_cap_rows(), _win_margin(),
+           os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
            n_blocks, n_steps, interpret)
     if key in _HYBRID_CACHE:
         return _HYBRID_CACHE[key]
@@ -1662,6 +1663,54 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     f = jax.jit(seg, donate_argnums=(0, 1, 2))
     _HYBRID_CACHE[key] = f
     return f
+
+
+def drive_ladder_async(dispatch, n_seg: int):
+    """Host loop over pcut segments WITHOUT a per-segment host sync:
+    under the remote relay every blocking fetch costs a ~25 ms round
+    trip AND drains the dispatch pipeline, so the former
+    int(n_new)-per-pcut loop serialized [sync -> dispatch -> drain]
+    45x per species.  The reference's pcut_finalize early break
+    (cuts.jl:115-119) is instead checked every MCS_HYBRID_SYNC_EVERY
+    segments (0 = never): a segment dispatched after the chain died is
+    a cheap no-op — the split leaves every lane FINISHED with zero
+    weight, the drive's per-block activity skip drops the whole first
+    launch, and finish_particles masks weight > 0 — so over-dispatching
+    a few dead segments is cheaper than syncing on every live one.
+
+    ``dispatch(i)`` runs segment i and returns (n_new, nsteps) device
+    scalars (any integer/float dtype; pushes < 2^53 so the uint64
+    conversion is exact).  Shared by the single-device ladder below
+    and the mesh ladder (parallel/shard.run_ion_mega_hybrid_sharded)
+    so the break policy and dead-tail reporting cannot diverge.
+
+    Returns (n_new[n_seg] int64, nsteps[n_seg] uint64) with segments
+    past the first die-out reported as the zeros they were."""
+    sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
+    n_new_d: list = []
+    nsteps_d: list = []
+    n_done = 0
+    for i in range(n_seg):
+        n_new, nsteps = dispatch(i)
+        n_new_d.append(n_new)
+        nsteps_d.append(nsteps)
+        n_done = i + 1
+        if sync_every and n_done % sync_every == 0 \
+                and int(n_new) == 0:
+            break
+
+    n_new_out = np.zeros(n_seg, np.int64)
+    nsteps_out = np.zeros(n_seg, np.uint64)
+    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
+    nsteps_out[:n_done] = np.asarray(
+        jnp.stack(nsteps_d)).astype(np.uint64)
+    # report the same tail as the host splitter: segments past the
+    # first die-out ran as no-ops and stay zero
+    dead = np.flatnonzero(n_new_out[:n_done] == 0)
+    if dead.size:
+        n_new_out[dead[0] + 1:] = 0
+        nsteps_out[dead[0] + 1:] = 0
+    return n_new_out, nsteps_out
 
 
 def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
@@ -1704,22 +1753,8 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     oob_acc = jnp.zeros((3,), jnp.float64)
     p_dtype = state.pb.dtype
 
-    # Dispatch segments WITHOUT a per-segment host sync: under the
-    # remote relay every blocking fetch costs a ~25 ms round trip AND
-    # drains the dispatch pipeline, so the former int(n_new)-per-pcut
-    # loop serialized [sync -> dispatch -> drain] 45x per species.
-    # The reference's pcut_finalize early break (cuts.jl:115-119) is
-    # instead checked every MCS_HYBRID_SYNC_EVERY segments (0 = never):
-    # a segment dispatched after the chain died is a cheap no-op — the
-    # split leaves every lane FINISHED with zero weight, the drive's
-    # per-block activity skip drops the whole first launch, and
-    # finish_particles masks weight > 0 — so over-dispatching a few
-    # dead segments is cheaper than syncing on every live one.
-    sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
-    n_new_d: list = []
-    nsteps_d: list = []
-    n_done = 0
-    for i in range(n_seg):
+    def dispatch(i):
+        nonlocal state, tallies, esc, oob_acc
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
             pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
@@ -1728,23 +1763,9 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
             jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
             seg_keys[i])
         oob_acc = oob_acc + oob
-        n_new_d.append(n_new)
-        nsteps_d.append(nsteps)
-        n_done = i + 1
-        if sync_every and n_done % sync_every == 0 \
-                and int(n_new) == 0:
-            break
+        return n_new, nsteps
 
-    n_new_out = np.zeros(n_seg, np.int64)
-    nsteps_out = np.zeros(n_seg, np.uint64)
-    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
-    nsteps_out[:n_done] = np.asarray(jnp.stack(nsteps_d), np.uint64)
-    # report the same tail as the host splitter: segments past the
-    # first die-out ran as no-ops and stay zero
-    dead = np.flatnonzero(n_new_out[:n_done] == 0)
-    if dead.size:
-        n_new_out[dead[0] + 1:] = 0
-        nsteps_out[dead[0] + 1:] = 0
+    n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg)
     return (state, tallies, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out), oob_acc)
 

@@ -9,7 +9,12 @@ and psum the tally pytree once per segment over ICI.  TP/PP/SP/EP have
 no counterpart in this workload (recorded N/A by design).
 
 Determinism: lane RNG keys are derived from the GLOBAL lane index
-before sharding, so results are bitwise independent of the mesh shape.
+before sharding, so per-lane trajectories are bitwise independent of
+the mesh shape on the host-split paths (sharded_run_segment /
+sharded_segment_mega).  The sharded hybrid ladder
+(sharded_hybrid_seg) splits per shard and is statistically — not
+bitwise — mesh-shape invariant; see its docstring and
+docs/design.md "Mesh hybrid ladder".
 """
 
 from __future__ import annotations
@@ -256,14 +261,12 @@ def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
                                 pcuts, pcut_prevs, n_targets, seg_keys):
     """Mesh twin of ops/pallas_step.run_ion_mega_hybrid: drive the
     whole pcut ladder as a host loop of sharded hybrid segment
-    programs with NO per-segment host sync (the chain-death early
-    break is checked every MCS_HYBRID_SYNC_EVERY segments on the
+    programs, async-dispatched via the shared
+    ops/pallas_step.drive_ladder_async (chain-death early break on the
     psum'd n_new — a dead segment is a structural no-op).
 
     Returns (state, tal, esc, n_new[n_seg], nsteps[n_seg], oob) with
     the stacked accumulators already reduced over shards."""
-    import os
-
     from ..ops import pallas_step as ps
 
     xg, zs, et, tail = ps._mega_prep(
@@ -279,11 +282,8 @@ def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
     oob_acc = jnp.zeros((3,), jnp.float64)
     p_dtype = state.pb.dtype
 
-    sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
-    n_new_d: list = []
-    nsteps_d: list = []
-    n_done = 0
-    for i in range(n_seg):
+    def dispatch(i):
+        nonlocal state, tal_st, esc_st, oob_acc
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
             pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
@@ -292,22 +292,9 @@ def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
             jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
             seg_keys[i])
         oob_acc = oob_acc + oob
-        n_new_d.append(n_new)
-        nsteps_d.append(nsteps)
-        n_done = i + 1
-        if sync_every and n_done % sync_every == 0 \
-                and int(n_new) == 0:
-            break
+        return n_new, nsteps
 
-    n_new_out = np.zeros(n_seg, np.int64)
-    nsteps_out = np.zeros(n_seg, np.uint64)
-    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
-    nsteps_out[:n_done] = np.asarray(
-        jnp.stack(nsteps_d), np.float64).astype(np.uint64)
-    dead = np.flatnonzero(n_new_out[:n_done] == 0)
-    if dead.size:
-        n_new_out[dead[0] + 1:] = 0
-        nsteps_out[dead[0] + 1:] = 0
+    n_new_out, nsteps_out = ps.drive_ladder_async(dispatch, n_seg)
     tal, esc = reduce_ion_accumulators(tal_st, esc_st)
     return (state, tal, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out), oob_acc)

@@ -136,7 +136,8 @@ def check_pcuts(pcuts: Sequence[float], emax: float, emax_per_aa: float,
 
 
 def auto_pcut_ladder(p_start: float, per_decade: int, emax: float,
-                     emax_per_aa: float, pmax: float) -> list[float]:
+                     emax_per_aa: float, pmax: float,
+                     aa_max: float = 1.0) -> list[float]:
     """Geometric pcut ladder from ``p_start`` [g cm/s] with
     ``per_decade`` splitting levels per decade of momentum, up to the
     configured maximum energy (plus one guard level).
@@ -151,24 +152,31 @@ def auto_pcut_ladder(p_start: float, per_decade: int, emax: float,
     population always survives to the next split.
 
     The top is chosen so the second-highest level passes check_pcuts'
-    coverage rule and — stricter — reaches the proton momentum at the
-    configured Emax (pmax_cutoff, ion_init.jl:55-72), so splitting
-    continues to the escape momentum for every species.
+    coverage rule and — stricter — reaches the escape momentum
+    (pmax_cutoff, ion_init.jl:55-72) of the HEAVIEST configured
+    species: p(E) = mc·sqrt((1+E/mc²)² − 1) grows with mass, so
+    ``aa_max`` (max species mass in proton units) sets the coverage
+    target and splitting continues to the escape momentum for every
+    species.
     """
     if per_decade < 1:
         raise ConfigError("pcuts-per-decade must be >= 1")
     if p_start <= 0:
         raise ConfigError("auto pcut ladder needs a positive first "
                           "momentum-cutoffs entry")
-    e0 = MP_C * C_CGS           # proton rest energy [erg]
+    aa_max = max(aa_max, 1.0)
+    m = aa_max * MP_C / C_CGS       # heaviest species mass [g]
+    e0 = m * C_CGS**2
     if pmax > 0:
         p_need = pmax
     elif emax > 0:
         g = 1.0 + emax / e0
-        p_need = MP_C * math.sqrt(g * g - 1.0)
+        p_need = m * C_CGS * math.sqrt(g * g - 1.0)
     elif emax_per_aa > 0:
+        # same E/E0 form as the engine's pmax_cutoff (reference quirk
+        # preserved, ion_init.jl:61-62)
         g = 1.0 + emax_per_aa / e0
-        p_need = MP_C * math.sqrt(g * g - 1.0)
+        p_need = m * C_CGS * math.sqrt(g * g - 1.0)
     else:
         raise ConfigError("unexpected: no maximum energy set")
     ratio = 10.0 ** (1.0 / per_decade)
@@ -424,9 +432,14 @@ def config_from_dict(cfg: dict) -> RunConfig:
     # (auto_pcut_ladder above; 0/absent = reference behaviour).
     out.pcuts_per_decade = int(cfg.get("pcuts-per-decade", 0))
     if out.pcuts_per_decade > 0:
+        if not out.pcuts:
+            raise ConfigError(
+                "pcuts-per-decade needs at least one momentum-cutoffs "
+                "entry to anchor the ladder")
         out.pcuts = auto_pcut_ladder(
             out.pcuts[0], out.pcuts_per_decade, out.emax,
-            out.emax_per_aa, out.pmax)
+            out.emax_per_aa, out.pmax,
+            aa_max=max(s.aa for s in out.species))
     check_pcuts(out.pcuts, out.emax, out.emax_per_aa, out.pmax)
 
     out.dont_shock = bool(cfg.get("no-shock", False))

@@ -23,4 +23,12 @@ timeout 3000 python scripts/flagship_nonlinear.py >> $LOG 2>&1
 echo "=== flagship baseline (as-shipped) ===" >> $LOG
 timeout 3000 python scripts/flagship_baseline.py >> $LOG 2>&1
 
+echo "=== flagship baseline --dsa science run (auto pcut ladder) ===" >> $LOG
+# the shipped 45-pcut ladder cannot climb at gamma0=5 (factor-60 first
+# gap vs P_ret ~ 0.25); the dense geometric ladder can — this is the
+# first full nonlinear relativistic science run of the framework
+timeout 6000 python scripts/flagship_baseline.py --dsa \
+    --pcuts-per-decade 4 --iters 10 \
+    -o flagship_dsa_out >> $LOG 2>&1
+
 echo "=== done ===" >> $LOG

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--steps", default="128,256,512,1024")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1 (rep 0 is the compile warmup)")
 
     import __graft_entry__ as ge
     from montecarloscattering_jl_tpu.ops import pallas_step as ps

@@ -51,7 +51,7 @@ def main(n_pts=100, seed=3):
                            cfg.xn_per_fine, setup.x_grid_stop,
                            jax.random.key(1))
     tal = stt.make_tallies(setup.nb, setup.bins.n_mom,
-                           setup.bins.n_theta, 0, ss.n_xspec,
+                           setup.bins.n_theta, ss.n_xspec, 1,
                            jnp.float32, batch=n, chunk=8)
     t0 = time.time()
     state2, tal2 = stp.run_segment_jit(state, tal, grids, sc, ss)

@@ -104,6 +104,30 @@ class TestConfig:
         bad = dict(base); bad["pcuts-per-decade"] = 20
         with pytest.raises(ConfigError):
             config_from_dict(bad)
+        # empty anchor list rejects with ConfigError, not IndexError
+        bad = dict(base); bad["pcuts-per-decade"] = 4
+        bad["momentum-cutoffs"] = []
+        with pytest.raises(ConfigError):
+            config_from_dict(bad)
+
+    def test_auto_pcut_ladder_heavy_species(self):
+        """Coverage must reach the escape momentum of the HEAVIEST
+        species: p(E) = mc sqrt((1+E/mc^2)^2-1) grows with mass, so an
+        Fe (aa=56) run needs a higher top than protons."""
+        from montecarloscattering_jl_tpu.utils.config import (
+            auto_pcut_ladder)
+
+        p0 = 0.01 * K.MP_C
+        emax_aa = 2.0 * K.MP_C2      # trans-relativistic per-nucleon
+        p_p = auto_pcut_ladder(p0, 4, 0.0, emax_aa, 0.0, aa_max=1.0)
+        p_fe = auto_pcut_ladder(p0, 4, 0.0, emax_aa, 0.0, aa_max=56.0)
+        # escape momentum with the engine's pmax_cutoff form (reference
+        # quirk: gamma = 1 + E_per_aa / (aa m_p c^2), ion_init.jl:61)
+        m = 56.0 * K.MP_CGS
+        g = 1.0 + emax_aa / (m * K.C_CGS**2)
+        p_need_fe = m * K.C_CGS * math.sqrt(g * g - 1.0)
+        assert p_fe[-2] >= p_need_fe * (1 - 1e-12)
+        assert p_fe[-1] > p_p[-1]    # heavier -> higher top
 
 
 # ---------------------------------------------------------------------------
