@@ -159,6 +159,13 @@ class TestSlidingWindow:
         # the launch cache does not key on MAX_HELIX_STEPS: drop any
         # drive compiled by earlier tests with the unpatched cap
         monkeypatch.setattr(ps, "_LAUNCH_CACHE", {})
+        # adaptive tail launches are DISABLED on windowed drives, so
+        # pin them off for the full-accumulator run too: otherwise the
+        # two paths partition on different launch boundaries and the
+        # slot-keyed stochastic-rounding dither differs at the 2^-7
+        # level, which is exactly the noise this exact-match test must
+        # exclude (launch-length equivalence is TestAdaptiveTailLaunch)
+        monkeypatch.setenv("MCS_MEGA_TAIL_MULT", "1")
         setup, state, tal, grids, sc, ss = ge._build(
             batch=256, p_dtype=jnp.float32)
         n_cells = tal.psd_diff.shape[0]
