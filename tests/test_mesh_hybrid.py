@@ -22,6 +22,8 @@ single-device in tests/test_fused_mega.py; the sharded wrapper adds
 only the behaviors above.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -179,6 +181,29 @@ class TestShardSplitTargets:
             w_new += float(np.asarray(out.weight).sum())
         assert total_new > 0
         np.testing.assert_allclose(w_new, w_saved, rtol=1e-6)
+
+
+def test_real_splits_statistical():
+    """Mesh ladder vs single-device ladder with splits that actually
+    FIRE, in a fresh subprocess where MCS_MEGA_ROWS=8 makes the
+    natural-drain interpret ladder affordable (block=1024 lanes; the
+    in-process block of 4096 puts the minimum 2-shard batch at 8192 —
+    hours in interpret mode on one core).  See
+    tests/mesh_hybrid_worker.py for the acceptance criteria."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mesh_hybrid_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
+                        "PALLAS_AXON_POOL_IPS", "MCS_MEGA_ROWS")}
+    p = subprocess.run([sys.executable, worker], env=env,
+                       stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, timeout=3000)
+    out = p.stdout.decode()
+    assert p.returncode == 0, out
+    assert "OK splits" in out, out
 
 
 class TestSplitLaneOffset:
