@@ -1,6 +1,8 @@
 """Multi-chip semantics on the 8-device virtual CPU mesh: sharded
 transport equals single-device transport; checkpoint round-trips."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,5 +97,20 @@ class TestGraftEntry:
         assert state.x.shape == (256,)
 
     def test_dryrun_multichip(self):
-        import __graft_entry__ as ge
-        ge.dryrun_multichip(8)
+        # Run in a fresh interpreter, exactly like the driver does:
+        # stage 2 (mesh hybrid ladder) pins MCS_MEGA_ROWS small, which
+        # must land before the process's first ops.pallas_step import —
+        # impossible in-suite once earlier tests imported the module.
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "__graft_entry__.py", "multichip", "8"],
+            cwd=repo, env=env, capture_output=True, text=True,
+            timeout=1200)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-4000:]
+        assert "dryrun_multichip OK" in r.stdout
+        assert "mesh-hybrid OK" in r.stdout
