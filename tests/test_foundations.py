@@ -5,6 +5,7 @@ PSD bin formulas, M-B sampling moments, upstream flux limits.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -53,6 +54,26 @@ class TestConfig:
         # rg0 = gamma0 mp c^2 beta0 / (q B0)
         rg0 = cfg.gamma0 * K.MP_C2 * cfg.beta0 / (K.QE_CGS * cfg.bmag0)
         assert abs(cfg.rg0 / rg0 - 1) < 1e-14
+
+    def test_reference_mc_in_drops_in(self):
+        """The reference's own input file is directly loadable — a user
+        switching frameworks reuses their mc_in.toml unchanged
+        (/root/reference/mc_in.toml)."""
+        import dataclasses
+
+        ref = "/root/reference/mc_in.toml"
+        if not os.path.exists(ref):
+            pytest.skip("reference checkout not present")
+        cfg_ref = load_config(ref)
+        cfg_here = load_config("configs/baseline.toml")
+        for f in dataclasses.fields(cfg_ref):
+            a, b = getattr(cfg_ref, f.name), getattr(cfg_here, f.name)
+            if isinstance(a, np.ndarray):
+                np.testing.assert_allclose(a, b, rtol=1e-12,
+                                           err_msg=f.name)
+            elif f.name != "species":
+                assert a == b, (f.name, a, b)
+        assert cfg_ref.gamma0 == 5.0 and len(cfg_ref.pcuts) == 45
 
     def test_invalid_configs_rejected(self):
         import tomllib
