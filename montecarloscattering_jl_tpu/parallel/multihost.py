@@ -59,33 +59,43 @@ def global_mesh() -> Mesh:
     return make_mesh()
 
 
+def _put_leaf(x, mesh: Mesh, spec: P):
+    """Host-replicated leaf -> global array with the given spec.
+
+    Handles PRNG key arrays (extended dtypes can't ride
+    make_array_from_callback: globalize the raw counter words and
+    re-wrap)."""
+    if jax.dtypes.issubdtype(getattr(x, "dtype", None),
+                             jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        impl = str(jax.random.key_impl(x))
+        g = jax.make_array_from_callback(
+            data.shape, NamedSharding(mesh, spec),
+            lambda idx: data[idx])
+        return jax.random.wrap_key_data(g, impl=impl)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(
+        x.shape, NamedSharding(mesh, spec), lambda idx: x[idx])
+
+
+def globalize(tree, specs, mesh: Mesh):
+    """Host-replicated pytree -> global arrays placed per the matching
+    PartitionSpec pytree (every process must hold identical values —
+    each serves the shards living on its local devices).  Use for the
+    hybrid ladder's stacked accumulators (parallel/shard.
+    _stacked_tally_spec) and any other sharded inputs on pods."""
+    return jax.tree.map(lambda x, s: _put_leaf(x, mesh, s), tree, specs)
+
+
 def global_state(state, mesh: Mesh):
     """Host-replicated population -> global array sharded over lanes.
 
     Every process holds the identical full-batch state (deterministic
     seeds); each serves the shards that live on its local devices.
     """
-    sh = NamedSharding(mesh, P(DP_AXIS))
-
-    def put(x):
-        if jax.dtypes.issubdtype(getattr(x, "dtype", None),
-                                 jax.dtypes.prng_key):
-            # extended dtypes can't ride make_array_from_callback:
-            # globalize the raw counter words and re-wrap
-            data = np.asarray(jax.random.key_data(x))
-            impl = str(jax.random.key_impl(x))
-            g = jax.make_array_from_callback(
-                data.shape, NamedSharding(mesh, P(DP_AXIS)),
-                lambda idx: data[idx])
-            return jax.random.wrap_key_data(g, impl=impl)
-        x = np.asarray(x)
-        return jax.make_array_from_callback(x.shape, sh,
-                                            lambda idx: x[idx])
-    return jax.tree.map(put, state)
+    return jax.tree.map(lambda x: _put_leaf(x, mesh, P(DP_AXIS)), state)
 
 
 def replicated(x, mesh: Mesh):
-    """Place a host array replicated over the mesh."""
-    sh = NamedSharding(mesh, P())
-    return jax.make_array_from_callback(
-        np.shape(x), sh, lambda idx: np.asarray(x)[idx])
+    """Place a host array (or PRNG key array) replicated over the mesh."""
+    return _put_leaf(x, mesh, P())

@@ -274,6 +274,11 @@ def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
         jnp.asarray(grids.gamma_sf), jnp.asarray(grids.gamma_ef),
         jnp.asarray(grids.btot), jnp.asarray(grids.eps_target),
         jnp.asarray(grids.recv_prefix), nb=int(ss.nb))
+    if jax.process_count() > 1:
+        # multi-process jit rejects process-local committed arrays;
+        # hand the (tiny, host-identical) prep products to jit as
+        # numpy so it auto-places them against the replicated specs
+        xg, zs, et, tail = jax.tree.map(np.asarray, (xg, zs, et, tail))
 
     n_seg = len(pcuts)
     pcuts_h = np.asarray(pcuts, np.float64)

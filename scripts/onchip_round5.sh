@@ -26,8 +26,14 @@ timeout 3000 python scripts/flagship_baseline.py >> $LOG 2>&1
 echo "=== flagship baseline --dsa science run (auto pcut ladder) ===" >> $LOG
 # the shipped 45-pcut ladder cannot climb at gamma0=5 (factor-60 first
 # gap vs P_ret ~ 0.25); the dense geometric ladder can — this is the
-# first full nonlinear relativistic science run of the framework
-timeout 6000 python scripts/flagship_baseline.py --dsa \
+# first full nonlinear relativistic science run of the framework.
+# MCS_MAX_HELIX_STEPS: the reference's 10k helix cap (its own FIXME,
+# particle_loop.jl:162) kills lanes after ~5 fine gyroperiods — a DSA
+# cycle ladder needs ~43 doubling cycles, so the cap must be raised
+# for the science run (CPU smoke: at 10k the chain dies by step-cap
+# with ~5k mean pushes/lane; the cap-raised run climbs).
+timeout 6000 env MCS_MAX_HELIX_STEPS=200000 \
+    python scripts/flagship_baseline.py --dsa \
     --pcuts-per-decade 4 --iters 10 \
     -o flagship_dsa_out >> $LOG 2>&1
 

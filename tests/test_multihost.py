@@ -78,3 +78,32 @@ def test_two_process_tallies_match_single_process(tmp_path):
                                atol=1e-15 * np.abs(en).max())
     np.testing.assert_allclose(got["psd"], psd, rtol=1e-6,
                                atol=1e-6 * np.abs(psd).max())
+
+    # ---- hybrid-ladder stage: 2-process vs 1-process -------------------
+    # Both sides ran the megakernel hybrid ladder (the DEFAULT
+    # multi-chip engine) on the SAME 8-shard mesh inside worker
+    # subprocesses (only a fresh interpreter can pin MCS_MEGA_ROWS); a
+    # shard's computation depends only on its lane block and shard
+    # index, so with equal mesh size results differ only in
+    # cross-process reduction order.
+    out1 = str(tmp_path / "single.npz")
+    env1 = dict(env, MCS_MH_DEVS="8")
+    r = subprocess.run(
+        [sys.executable, worker, f"localhost:{_free_port()}", "1", "0",
+         out1],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env1,
+        timeout=600)
+    assert r.returncode == 0, f"single-proc worker failed:\n" \
+                              f"{r.stdout.decode()}"
+    ref = np.load(out1)
+
+    np.testing.assert_array_equal(got["h_n_new"], ref["h_n_new"])
+    np.testing.assert_array_equal(got["h_nsteps"], ref["h_nsteps"])
+    np.testing.assert_array_equal(got["h_num_crossings"],
+                                  ref["h_num_crossings"])
+    hp = ref["h_psd"]
+    np.testing.assert_allclose(got["h_psd"], hp, rtol=1e-5,
+                               atol=1e-6 * (np.abs(hp).max() or 1.0))
+    hx = ref["h_pxx_flux"]
+    np.testing.assert_allclose(got["h_pxx_flux"], hx, rtol=1e-5,
+                               atol=1e-6 * (np.abs(hx).max() or 1.0))
