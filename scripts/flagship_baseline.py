@@ -43,9 +43,19 @@ def main() -> None:
                     "be climbed at gamma0=5 where P_ret ~ 0.25")
     ap.add_argument("--iters", type=int, default=0,
                     help="override num-iterations (0 = config value)")
+    ap.add_argument("--max-helix-steps", type=int, default=0,
+                    help="raise the per-segment helix step cap (the "
+                    "reference hardcodes 10k with its own FIXME, "
+                    "particle_loop.jl:162; a gamma0=5 DSA cycle needs "
+                    "~20k fine-scattering steps downstream, so the "
+                    "--dsa science run dies by step-cap without this; "
+                    "200000 is a good value)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("-o", "--out-dir", default="flagship_baseline_out")
     args = ap.parse_args()
+    if args.max_helix_steps:
+        # must land before utils.params is first imported
+        os.environ["MCS_MAX_HELIX_STEPS"] = str(args.max_helix_steps)
 
     import jax.numpy as jnp
     import numpy as np

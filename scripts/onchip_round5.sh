@@ -32,9 +32,8 @@ echo "=== flagship baseline --dsa science run (auto pcut ladder) ===" >> $LOG
 # cycle ladder needs ~43 doubling cycles, so the cap must be raised
 # for the science run (CPU smoke: at 10k the chain dies by step-cap
 # with ~5k mean pushes/lane; the cap-raised run climbs).
-timeout 6000 env MCS_MAX_HELIX_STEPS=200000 \
-    python scripts/flagship_baseline.py --dsa \
-    --pcuts-per-decade 4 --iters 10 \
+timeout 6000 python scripts/flagship_baseline.py --dsa \
+    --pcuts-per-decade 4 --iters 10 --max-helix-steps 200000 \
     -o flagship_dsa_out >> $LOG 2>&1
 
 echo "=== done ===" >> $LOG
