@@ -417,7 +417,16 @@ class TransportEngine:
                     compact_levels=lv)
             if _subt:
                 jax.block_until_ready(nsteps)
-                self.subtimers["ladder"] += time.perf_counter() - _t0
+                _dt = time.perf_counter() - _t0
+                self.subtimers["ladder"] += _dt
+                logging.getLogger(__name__).warning(
+                    "ladder iter=%d ion=%d: %.2fs %.0fM pushes "
+                    "(%.1fM/s) n_new=%s", i_iter, i_ion, _dt,
+                    float(np.sum(np.asarray(nsteps, np.float64)))
+                    / 1e6,
+                    float(np.sum(np.asarray(nsteps, np.float64)))
+                    / _dt / 1e6,
+                    np.asarray(n_new).tolist())
                 _t0 = time.perf_counter()
             fin = stt.finalize_tallies(tal)
             it.pxx_flux += np.asarray(fin.pxx_flux)

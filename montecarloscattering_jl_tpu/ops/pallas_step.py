@@ -69,6 +69,7 @@ Reference parity anchors are the same as ops/step.py
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
@@ -1753,6 +1754,8 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     oob_acc = jnp.zeros((3,), jnp.float64)
     p_dtype = state.pb.dtype
 
+    oob_log: list = [] if os.environ.get("MCS_OOB_LOG") else None
+
     def dispatch(i):
         nonlocal state, tallies, esc, oob_acc
         sci = sc._replace(
@@ -1763,9 +1766,21 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
             jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
             seg_keys[i])
         oob_acc = oob_acc + oob
+        if oob_log is not None:
+            oob_log.append(oob)
         return n_new, nsteps
 
     n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg)
+    if oob_log:
+        # diagnostic only (MCS_OOB_LOG=1): per-segment [count,
+        # dropped |w|, total |w|] so a window overflow is attributable
+        ol = np.asarray(jnp.stack(oob_log))
+        for i, (cnt, ow, wt) in enumerate(ol):
+            if cnt:
+                logging.getLogger(__name__).warning(
+                    "oob seg %d (pcut %.3e): n=%.0f w=%.3e/%.3e "
+                    "(%.2e)", i, pcuts_h[i], cnt, ow, wt,
+                    ow / max(wt, 1e-300))
     return (state, tallies, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out), oob_acc)
 
