@@ -616,9 +616,16 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
         psd_w = w_lane * inv_vx * on
 
         # scalar min in f32 (cells < 2^24 are exact; Mosaic's i32
-        # scalar reductions recurse in the lowering's convert helper)
+        # scalar reductions recurse in the lowering's convert helper).
+        # Records already outside the sliding window (cell < 0 or
+        # >= n_cells_pad) are dropped-and-counted regardless, so they
+        # must NOT drag the band anchor: one below-window straggler
+        # would otherwise pull blo_c to the window bottom and shed the
+        # whole step's in-window bulk (the --dsa 5%/segment oob bug).
         cellf = cell.astype(jnp.float32)
-        blo = jnp.min(jnp.where(crossed, cellf,
+        in_win = (crossed & (cell >= 0)
+                  & (cell < jnp.int32(n_cells_pad)))
+        blo = jnp.min(jnp.where(in_win, cellf,
                                 np.float32(1e9))).astype(jnp.int32)
         blo_c = jnp.clip(blo, jnp.int32(0), jnp.int32(n_cells_pad - band))
         oob = crossed & ((cell < blo_c)
@@ -1270,12 +1277,24 @@ def unpack_state(fs, is_, b, template):
 
 def _partition_active(fs, is_, orig):
     """Stable-partition lanes with status == ACTIVE to the front of
-    the flat lane axis (fs [NF, RT, 128], is_ [NI, RT, 128]).
+    the flat lane axis (fs [NF, RT, 128], is_ [NI, RT, 128]), actives
+    ordered by total momentum.
 
     Uses ONE multi-operand lax.sort carrying all state planes — a
     column gather of [NF+NI, RT*128] lowers to a serial per-row loop
-    on TPU (~20 ms at 64k lanes), the bitonic sort is ~ms."""
-    key = (is_[I_STATUS].reshape(-1) != ACTIVE).astype(jnp.int32)
+    on TPU (~20 ms at 64k lanes), the bitonic sort is ~ms.
+
+    The momentum sub-order makes each kernel BLOCK momentum-coherent,
+    which the per-step tally band (2048 cells ~ 0.6 decades at the
+    parity baseline's 320-cell ip slab) relies on once a DSA
+    population spreads over decades within one pcut segment: per-lane
+    trajectories are permutation-invariant (lane-keyed counter RNG),
+    so this only changes f32 tally accumulation order.  Positive-f32
+    bitcast is order-preserving, so the composite key is one i32."""
+    p = jnp.hypot(fs[F_PB].reshape(-1), fs[F_PP].reshape(-1))
+    pkey = lax.bitcast_convert_type(p.astype(jnp.float32), jnp.int32)
+    key = jnp.where(is_[I_STATUS].reshape(-1) != ACTIVE,
+                    jnp.int32(np.int32(2**31 - 1)), pkey)
     ops = ([key]
            + [fs[k].reshape(-1) for k in range(_NF)]
            + [is_[k].reshape(-1) for k in range(_NI)]
@@ -1302,13 +1321,21 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     against a 256-step launch)."""
     margin = _win_margin()
     acc_rows = min(n_cells_pad, max(_win_cap_rows(), band))
+    windowed = acc_rows < n_cells_pad
+    # momentum re-sort cadence (launches): block momentum coherence
+    # (which the per-step tally band relies on) decays as lanes
+    # diverge; windowed configs re-sort every 4th launch by default
+    # (their batches are small enough that the sort is ~ms).
+    # Full-coverage configs default to halving-triggered partitions
+    # only.  The knob exists so equivalence tests can pin BOTH paths
+    # to one schedule (the SR dither is slot-keyed).
+    resort_every = int(os.environ.get("MCS_MEGA_RESORT_EVERY",
+                                      "4" if windowed else "0"))
     key = (cfg_key, band, n_cells_pad, acc_rows, n_blocks, n_steps,
            margin, os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
-           interpret)
+           resort_every, interpret)
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
-
-    windowed = acc_rows < n_cells_pad
     rt = n_blocks * _ROWS
     tc_pad = cfg["tc_pad"]
     slab = 2 * (cfg["n_theta"] + 1)
@@ -1467,8 +1494,13 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
             # halved since the last partition: the multi-operand sort
             # costs ~10 ms at 64k lanes, and between partitions the
             # active set only shrinks IN PLACE (the per-block activity
-            # skip already ignores fully-drained blocks)
+            # skip already ignores fully-drained blocks).  Plus the
+            # periodic momentum re-sort (resort_every, see above).
             do_part = (n_act * 2 <= packed) & (n_act > 0)
+            if resort_every:
+                do_part |= (n_act > 0) & (
+                    k % jnp.int32(resort_every)
+                    == jnp.int32(resort_every - 1))
             fs, is_, orig = lax.cond(
                 do_part, _partition_active, lambda a, b, o: (a, b, o),
                 fs, is_, orig)

@@ -166,6 +166,11 @@ class TestSlidingWindow:
         # level, which is exactly the noise this exact-match test must
         # exclude (launch-length equivalence is TestAdaptiveTailLaunch)
         monkeypatch.setenv("MCS_MEGA_TAIL_MULT", "1")
+        # pin one partition schedule for BOTH paths: the periodic
+        # momentum re-sort defaults on for windowed drives only, and
+        # the stochastic-rounding dither is slot-keyed, so divergent
+        # schedules would break this exact match at the bf16 level
+        monkeypatch.setenv("MCS_MEGA_RESORT_EVERY", "4")
         setup, state, tal, grids, sc, ss = ge._build(
             batch=256, p_dtype=jnp.float32)
         n_cells = tal.psd_diff.shape[0]
@@ -190,6 +195,95 @@ class TestSlidingWindow:
             rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(s2.status),
                                       np.asarray(s1.status))
+
+
+@pytest.mark.slow
+class TestWindowAnchorStraggler:
+    """Below-window crossing records must not drag the per-step tally
+    band anchor (the --dsa oob bug): a record whose cell falls below
+    the sliding window is dropped-and-counted REGARDLESS, so letting
+    it pull the band's scalar-min anchor to the window bottom sheds
+    the whole step's in-window bulk.  Regression: boost a minority of
+    lanes 4 decades up so the top-anchored window excludes the thermal
+    bulk — the bulk's records drop (counted against the tolerance),
+    but the minority's in-window records must match the
+    full-accumulator run bin for bin."""
+
+    def test_minority_in_window_records_survive(self, monkeypatch):
+        import __graft_entry__ as ge
+        from montecarloscattering_jl_tpu.ops import state as stt
+        # one launch total: the in-kernel cap finishes every lane at
+        # 256 steps, so the window anchors exactly once and the two
+        # runs see identical slots (bit-identical SR dither)
+        monkeypatch.setattr(ps, "MAX_HELIX_STEPS", 256)
+        monkeypatch.setattr(ps, "_LAUNCH_CACHE", {})
+        monkeypatch.setenv("MCS_MEGA_TAIL_MULT", "1")
+        setup, state, tal, grids, sc, ss = ge._build(
+            batch=256, p_dtype=jnp.float32)
+        pb = np.asarray(state.pb)
+        pp = np.asarray(state.pperp)
+        pt = np.hypot(pb, pp)
+        # Geometry (graft config: n_mom=53, 10 bins/dec, thermal
+        # bulk's SHOCK-frame tallies at bins ~25-37): boost every 8th
+        # lane to bin n_mom-9 — inside the grid and the pmax test,
+        # tallying at bins 43-44.  A 6-bin window top-anchored at
+        # ip(psk_hi)+margin(2) = 46 covers bins [41, 47]: the minority
+        # is in-window, the WHOLE bulk (<= 37) is below it.  The 2-bin
+        # (256-cell) band covers the minority when anchored on
+        # in-window records (worst in-window spread ~245 cells), while
+        # the old buggy anchor — dragged to the window bottom by the
+        # bulk's below-window records — sheds the minority's bin-44
+        # cells (rel 287-327 >= 256) on every coincident step.
+        boost_to = float(ss.psd_mom_min) * 10.0 ** (
+            (ss.n_mom - 10) / ss.bins_per_dec_mom)
+        sel = (np.arange(pb.size) % 8) == 0
+        fac = np.where(sel, boost_to / pt, 1.0).astype(pb.dtype)
+        state = state._replace(pb=jnp.asarray(pb * fac),
+                               pperp=jnp.asarray(pp * fac))
+
+        n_cells = tal.psd_diff.shape[0]
+        full_pad = -(-n_cells // 128) * 128
+        slab = 2 * (ss.n_theta + 1)
+        cap = -(-(6 * slab) // 128) * 128     # 6-bin window
+        band = -(-(2 * slab) // 128) * 128    # 2-bin band
+        if cap >= full_pad:
+            pytest.skip("PSD too small to exercise the window here")
+
+        s1, t1 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=256,
+                                     interpret=True)
+        f1 = stt.finalize_tallies(t1)
+        monkeypatch.setenv("MCS_MEGA_WINDOW", str(cap))
+        monkeypatch.setenv("MCS_MEGA_BAND", str(band))
+        monkeypatch.setenv("MCS_MEGA_WIN_MARGIN", "2")
+        # the dropped thermal bulk dominates |weight|: accept it, the
+        # assertion below checks exactly WHAT dropped
+        monkeypatch.setenv("MCS_MEGA_OOB_TOL", "0.999")
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+                                     steps_per_launch=256,
+                                     interpret=True)
+        f2 = stt.finalize_tallies(t2)
+
+        # identical trajectories (tally config cannot touch the RNG)
+        np.testing.assert_array_equal(np.asarray(s2.nsteps),
+                                      np.asarray(s1.nsteps))
+        hi_cut = ss.n_mom - 13       # >= 2 bins above the bulk's top
+        lo_cut = ss.n_mom - 17       # >= 1 bin below the window
+        got_minority = False
+        for field in ("psd", "therm_psd"):
+            a = np.asarray(getattr(f1, field), np.float64)
+            b = np.asarray(getattr(f2, field), np.float64)
+            # the bug: in-window minority records shed to ~0
+            np.testing.assert_allclose(b[hi_cut:], a[hi_cut:],
+                                       rtol=1e-6, err_msg=field)
+            if a[hi_cut:].sum() > 0.0:
+                got_minority = True
+            # the thermal bulk really was below the window (test is
+            # not vacuous) and really was dropped
+            lo1, lo2 = a[:lo_cut].sum(), b[:lo_cut].sum()
+            if lo1 > 0.0:
+                assert lo2 <= 1e-6 * lo1, (field, lo1, lo2)
+        assert got_minority
 
 
 @pytest.mark.slow
