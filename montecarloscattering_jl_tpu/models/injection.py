@@ -178,32 +178,29 @@ def init_pop(rng: np.random.Generator, species: Sequence[Species],
 
     # Shock-frame-weighted pitch: v^2 uniform => v triangular, peaking at
     # the right vertex (Vladimirov 2009; initializers.jl:1089-1131).
+    # Vectorized; draws the same PCG64 stream as a per-particle loop
+    # (rng.random(n) == n successive rng.random() calls), EXCEPT that a
+    # degenerate hi<=lo interval consumes no draw in the scalar
+    # _triangular_right — thermal ptot>0 makes that impossible here, and
+    # the assert keeps the contract honest if a config ever reaches it.
     u = ux_sk_grid[i_stop]
     beta_u = u / C_CGS
-    pb = np.zeros(n)
-    for i in range(n):
-        if relativistic:
-            g_pf = math.hypot(1.0, ptot[i] / s.mc)
-            b_pf = math.sqrt(1.0 - 1.0 / g_pf**2)
-            bmin = abs((beta_u - b_pf) / (1.0 - beta_u * b_pf))
-            bmax = abs((beta_u + b_pf) / (1.0 + beta_u * b_pf))
-            bx_sf = _triangular_right(rng, bmin, bmax)
-            vx_pf = (bx_sf - beta_u) / (1.0 - bx_sf * beta_u) * C_CGS
-            pb[i] = g_pf * s.mass * vx_pf
-        else:
-            vt_pf = ptot[i] / s.mass
-            vmin, vmax = abs(u - vt_pf), abs(u + vt_pf)
-            vx_sf = _triangular_right(rng, vmin, vmax)
-            pb[i] = s.mass * (vx_sf - u)
+    if relativistic:
+        g_pf = np.hypot(1.0, ptot / s.mc)
+        b_pf = np.sqrt(1.0 - 1.0 / g_pf**2)
+        lo = np.abs((beta_u - b_pf) / (1.0 - beta_u * b_pf))
+        hi = np.abs((beta_u + b_pf) / (1.0 + beta_u * b_pf))
+    else:
+        vt_pf = ptot / s.mass
+        lo, hi = np.abs(u - vt_pf), np.abs(u + vt_pf)
+    assert np.all(hi > lo), "degenerate pitch interval in fast push"
+    draw = lo + (hi - lo) * np.sqrt(rng.random(n))
+    if relativistic:
+        vx_pf = (draw - beta_u) / (1.0 - draw * beta_u) * C_CGS
+        pb = g_pf * s.mass * vx_pf
+    else:
+        pb = s.mass * (draw - u)
 
     return InjectedPopulation(
         weight=weight, ptot_pf=ptot, pb_pf=pb, x_cm=x, i_grid=i_grid,
         pxx_flux=pxx, pxz_flux=pxz, energy_flux=energy)
-
-
-def _triangular_right(rng: np.random.Generator, lo: float, hi: float
-                      ) -> float:
-    """Triangular distribution with mode at the right vertex."""
-    if hi <= lo:
-        return hi
-    return lo + (hi - lo) * math.sqrt(rng.random())
