@@ -31,6 +31,10 @@ from .setup import RunSetup, build_setup
 
 log = logging.getLogger("mcs.engine")
 
+# finalize as ONE device program: the eager jnp version paid the
+# ~25 ms-per-dispatch remote-relay latency for each cumsum/reshape
+_finalize_tallies_jit = jax.jit(stt.finalize_tallies)
+
 
 def _round_up(n: int, m: int = 128) -> int:
     return ((n + m - 1) // m) * m
@@ -428,28 +432,48 @@ class TransportEngine:
                     / _dt / 1e6,
                     np.asarray(n_new).tolist())
                 _t0 = time.perf_counter()
-            fin = stt.finalize_tallies(tal)
-            it.pxx_flux += np.asarray(fin.pxx_flux)
-            it.pxz_flux += np.asarray(fin.pxz_flux)
-            it.energy_flux += np.asarray(fin.energy_flux)
-            it.px_esc_upstream += float(fin.px_esc_up)
-            it.energy_esc_upstream += float(fin.en_esc_up)
-            it.sum_p_downstream += float(fin.sum_p_dw) * s.number_density
-            it.sum_ke_downstream += float(fin.sum_ke_dw) * s.number_density
+            # One jitted program for the prefix-sum finalize (eager jnp
+            # would pay ~25 ms relay latency per op), then ONE batched
+            # async fetch of every host-consumed field.  The big PSD
+            # blocks stay device-resident on single-process runs:
+            # ion_reduce_device consumes them directly, so fetching
+            # them here was a pure D2H->H2D roundtrip of the largest
+            # buffers per species (the round-5 tally_fetch subtimer).
+            fin = _finalize_tallies_jit(tal)
+            keep_device = jax.process_count() == 1
+            (pxx_h, pxz_h, enf_h, ncross_h, pxu_h, enu_h, spd_h, sked_h,
+             ssf_h, spf_h, wcp_h, scp_h, pool_h), esc_h, n_new_h, ns_h = (
+                jax.device_get(((fin.pxx_flux, fin.pxz_flux,
+                                 fin.energy_flux, fin.num_crossings,
+                                 fin.px_esc_up, fin.en_esc_up,
+                                 fin.sum_p_dw, fin.sum_ke_dw,
+                                 fin.spectra_sf, fin.spectra_pf,
+                                 fin.weight_coupled, fin.spectra_coupled,
+                                 fin.energy_pool),
+                                esc, n_new, nsteps)))
+            it.pxx_flux += pxx_h
+            it.pxz_flux += pxz_h
+            it.energy_flux += enf_h
+            it.px_esc_upstream += float(pxu_h)
+            it.energy_esc_upstream += float(enu_h)
+            it.sum_p_downstream += float(spd_h) * s.number_density
+            it.sum_ke_downstream += float(sked_h) * s.number_density
             if cfg.do_tcuts:
-                it.weight_coupled[:, i_ion] += np.asarray(
-                    fin.weight_coupled)
-                it.spectra_coupled[:, :, i_ion] += np.asarray(
-                    fin.spectra_coupled)
-            psd_acc += np.asarray(fin.psd)
-            therm_acc += np.asarray(fin.therm_psd)
-            ncross_acc += np.asarray(fin.num_crossings)
-            spectra_sf += np.asarray(fin.spectra_sf)
-            spectra_pf += np.asarray(fin.spectra_pf)
+                it.weight_coupled[:, i_ion] += wcp_h
+                it.spectra_coupled[:, :, i_ion] += scp_h
+            if keep_device:
+                psd_acc = fin.psd
+                therm_acc = fin.therm_psd
+            else:
+                psd_acc += np.asarray(fin.psd)
+                therm_acc += np.asarray(fin.therm_psd)
+            ncross_acc += ncross_h
+            spectra_sf += ssf_h
+            spectra_pf += spf_h
             if it.energy_pool is not None and not ss.is_electron:
-                it.energy_pool += np.asarray(fin.energy_pool)
-            pushes = int(np.asarray(nsteps, np.uint64).sum())
-            trajectories += int(np.asarray(n_new, np.int64).sum())
+                it.energy_pool += pool_h
+            pushes = int(np.asarray(ns_h, np.uint64).sum())
+            trajectories += int(np.asarray(n_new_h, np.int64).sum())
             self.n_pushes_total += pushes
             self.n_trajectories_total += trajectories
             if _subt:
@@ -457,7 +481,7 @@ class TransportEngine:
             return IonResult(
                 psd=psd_acc, therm_psd=therm_acc,
                 num_crossings=ncross_acc,
-                esc=jax.tree.map(np.asarray, esc),
+                esc=esc_h,
                 spectra_sf=spectra_sf, spectra_pf=spectra_pf,
                 n_pushes=pushes, n_trajectories=trajectories)
 

@@ -585,8 +585,9 @@ def ef_zone_norm(psd, therm_psd, zone_pop, num_crossings,
                  n0_ion: float) -> np.ndarray:
     """Per-zone population normalization factor [nb] for the ISM-frame
     d2N (particle_counter.jl:480-518).  Kept in f64 on the host: zone
-    populations are ~1e50 in CGS and overflow f32."""
-    total = np.asarray(psd + therm_psd)
+    populations are ~1e50 in CGS and overflow f32 (the explicit cast
+    matters — the PSD inputs may be device-resident f32 arrays)."""
+    total = np.asarray(psd + therm_psd, np.float64)
     density_tot = total.sum(axis=(0, 1))
     density_tot = np.where((np.asarray(num_crossings) == 0)
                            & (density_tot > 0),
