@@ -88,6 +88,16 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
     s = cfg.species[i_ion]
     e0 = s.rest_energy
 
+    # The PSD blocks arrive device-resident on single-process runs (the
+    # transport engine skips their D2H so ion_reduce_device can consume
+    # them in place).  IonFinal lives for the whole run inside
+    # RunResult.iterations, so storing the device arrays would grow HBM
+    # by ~2 PSD blocks per (iteration, ion).  Kick the host copies off
+    # now so the transfer overlaps the device reductions below.
+    for a in (res.psd, res.therm_psd):
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+
     # cell-weight spreading mode: the reference hardcodes the scalene
     # triangle (i_approx=2, particle_counter.jl:72) and errors on the
     # exact mode 3 (transformers.jl:132-134); here 3 is implemented
@@ -126,7 +136,7 @@ def ion_finalize(setup: RunSetup, res, prof, i_ion: int,
         dndp_therm=dn_th, dndp_cr=dn_cr, zone_pop=zone_pop,
         zone_vol=zone_vol, p_psd_par=p_par, p_psd_perp=p_perp,
         energy_density_psd=e_dens, d2n_ef=d2n_ef, esc=res.esc,
-        psd=res.psd, therm_psd=res.therm_psd,
+        psd=np.asarray(res.psd), therm_psd=np.asarray(res.therm_psd),
         num_crossings=res.num_crossings,
         spectra_sf=res.spectra_sf, spectra_pf=res.spectra_pf,
         n_pushes=res.n_pushes, n_trajectories=res.n_trajectories)

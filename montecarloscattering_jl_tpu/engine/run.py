@@ -441,15 +441,20 @@ class TransportEngine:
             # buffers per species (the round-5 tally_fetch subtimer).
             fin = _finalize_tallies_jit(tal)
             keep_device = jax.process_count() == 1
+            want_tcut = cfg.do_tcuts
+            want_pool = (it.energy_pool is not None
+                         and not ss.is_electron)
             (pxx_h, pxz_h, enf_h, ncross_h, pxu_h, enu_h, spd_h, sked_h,
-             ssf_h, spf_h, wcp_h, scp_h, pool_h), esc_h, n_new_h, ns_h = (
+             ssf_h, spf_h), tcut_h, pool_h, esc_h, n_new_h, ns_h = (
                 jax.device_get(((fin.pxx_flux, fin.pxz_flux,
                                  fin.energy_flux, fin.num_crossings,
                                  fin.px_esc_up, fin.en_esc_up,
                                  fin.sum_p_dw, fin.sum_ke_dw,
-                                 fin.spectra_sf, fin.spectra_pf,
-                                 fin.weight_coupled, fin.spectra_coupled,
-                                 fin.energy_pool),
+                                 fin.spectra_sf, fin.spectra_pf),
+                                (fin.weight_coupled,
+                                 fin.spectra_coupled) if want_tcut
+                                else (),
+                                fin.energy_pool if want_pool else (),
                                 esc, n_new, nsteps)))
             it.pxx_flux += pxx_h
             it.pxz_flux += pxz_h
@@ -458,10 +463,17 @@ class TransportEngine:
             it.energy_esc_upstream += float(enu_h)
             it.sum_p_downstream += float(spd_h) * s.number_density
             it.sum_ke_downstream += float(sked_h) * s.number_density
-            if cfg.do_tcuts:
-                it.weight_coupled[:, i_ion] += wcp_h
-                it.spectra_coupled[:, :, i_ion] += scp_h
+            if want_tcut:
+                it.weight_coupled[:, i_ion] += tcut_h[0]
+                it.spectra_coupled[:, :, i_ion] += tcut_h[1]
             if keep_device:
+                # Assignment, not accumulation: this fused branch runs
+                # ONCE per ion (the whole pcut ladder is inside the
+                # device program) and returns immediately below, unlike
+                # the per-pcut loop at the end of run_ion which must
+                # accumulate.  If this branch ever gains a loop, switch
+                # to `psd_acc = psd_acc + fin.psd` (an eager device add
+                # costs ~25 ms relay latency, so it is not free here).
                 psd_acc = fin.psd
                 therm_acc = fin.therm_psd
             else:
@@ -470,7 +482,7 @@ class TransportEngine:
             ncross_acc += ncross_h
             spectra_sf += ssf_h
             spectra_pf += spf_h
-            if it.energy_pool is not None and not ss.is_electron:
+            if want_pool:
                 it.energy_pool += pool_h
             pushes = int(np.asarray(ns_h, np.uint64).sum())
             trajectories += int(np.asarray(n_new_h, np.int64).sum())
