@@ -156,7 +156,7 @@ class TransportEngine:
                 def run_mesh_mega(st, tl, gr, sc, _ss, _f=f,
                                   _nc=n_cells):
                     st, tl, oob = _f(st, tl, gr, sc, jnp.float32(1.0))
-                    pstep.check_oob(oob, _nc)
+                    pstep.check_oob(oob, _nc, band=_ss.mega_band)
                     return st, tl
                 self._sharded_seg[ss] = run_mesh_mega
             else:
@@ -220,12 +220,16 @@ class TransportEngine:
 
     def step_static(self, i_ion: int) -> stp.StepStatic:
         from ..ops.pallas_hist import hist_band_for
+        from ..ops.pallas_step import derive_mega_band
         cfg = self.setup.cfg
         b = self.setup.bins
         n_cells = (b.n_mom + 1) * 2 * (b.n_theta + 1)
         return stp.StepStatic(
             hist_band=hist_band_for(n_cells, self.setup.nb + 1,
                                     self.psd_dtype),
+            mega_band=derive_mega_band(cfg.beta0, cfg.dont_scatter,
+                                       b.bins_per_dec_mom, b.n_theta,
+                                       n_cells),
             eta_mfp=cfg.eta_mfp, xn_per_coarse=cfg.xn_per_coarse,
             xn_per_fine=cfg.xn_per_fine, dont_scatter=cfg.dont_scatter,
             frg_alpha=(cfg.frg_alpha if cfg.use_custom_frg else 1.0),
@@ -392,7 +396,7 @@ class TransportEngine:
                         np.asarray(cfg.pcuts),
                         np.concatenate([[0.0], cfg.pcuts[:-1]]),
                         np.asarray(n_targets), seg_keys))
-                pstep.check_oob(oob, n_psd_cells)
+                pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif use_mega and mega_mode != "scan":
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_mega_hybrid(
@@ -400,13 +404,13 @@ class TransportEngine:
                         np.asarray(cfg.pcuts),
                         np.concatenate([[0.0], cfg.pcuts[:-1]]),
                         np.asarray(n_targets), seg_keys))
-                pstep.check_oob(oob, n_psd_cells)
+                pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif use_mega:   # mega_mode == "scan"
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_fused_mega_jit(
                         state, tal, esc, grids, sc, ss,
                         pcuts, pcut_prevs, n_targets, seg_keys))
-                pstep.check_oob(oob, n_psd_cells)
+                pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif self.batch_size <= fused_max:
                 state, tal, esc, n_new, nsteps = run_ion_fused_jit(
                     state, tal, esc, grids, sc, ss,

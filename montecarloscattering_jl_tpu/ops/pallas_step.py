@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 import os
 
 import jax
@@ -1004,41 +1005,100 @@ def _oob_tol() -> float:
     return float(os.environ.get("MCS_MEGA_OOB_TOL", "1e-5"))
 
 
-def _tally_geom(n_cells: int):
+def _tally_rows_budget() -> int:
+    """Combined VMEM row budget for the window accumulator + the
+    per-step band scratch ([rows, ZPAD] f32 each; 24,576 rows = 12 MB
+    of the ~16 MB/core VMEM, leaving room for the lane-state blocks
+    and compiler temporaries)."""
+    return int(os.environ.get("MCS_MEGA_TALLY_ROWS", 24576))
+
+
+def _tally_geom(n_cells: int, band: int = 0):
     """(band, acc_rows, full_pad): per-step band size, VMEM
     accumulator rows (a sliding momentum WINDOW of the difference
     array when the full array exceeds the VMEM cap), and the padded
-    full-array rows carried in HBM."""
-    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-               -(-n_cells // 128) * 128)
+    full-array rows carried in HBM.  A derived `band` (see
+    derive_mega_band) wider than the 2048 default shrinks the window
+    to stay inside the combined VMEM row budget."""
+    band = band or min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
+                       -(-n_cells // 128) * 128)
     full_pad = -(-max(n_cells, band) // 128) * 128
     acc_rows = min(full_pad, max(_win_cap_rows(), band))
+    if acc_rows < full_pad and acc_rows + band > _tally_rows_budget():
+        acc_rows = max(band, _tally_rows_budget() - band)
     return band, acc_rows, full_pad
 
 
-def check_oob(oob, n_cells: int) -> None:
+def derive_mega_band(beta0: float, dont_scatter: bool,
+                     bins_per_dec_mom: int, n_theta: int,
+                     n_cells: int) -> int:
+    """Per-step tally-band width derived from the config's physics.
+
+    The band must cover one step's crossing records of one
+    momentum-sorted lane block.  Two spread sources:
+
+      * block momentum incoherence (lanes diverge between re-sorts) —
+        covered by the 2048-cell base, empirically sufficient for
+        every nonrelativistic config (0.64 decades at baseline
+        binning);
+      * the pitch-angle spread of SHOCK-frame momentum at fixed plasma
+        momentum once scattering isotropizes the population: an
+        ultra-relativistic particle's pt_sk spans a factor
+        (1+beta0)/(1-beta0) across mu (transformers.jl:440-476) — a
+        factor 98 ~ two decades at the reference's gamma0 = 5
+        (mc_in.toml:19), which is what overflowed the fixed band on
+        the --dsa science run (STATUS.md round 6).
+
+    The angular term is zero with scattering off (crossing pitches
+    stay coherent) and is absorbed by the base when it is sub-bin, so
+    nonrelativistic and no-scatter configs keep the 2048-cell band
+    (and its measured throughput) bit-for-bit.
+
+    An explicit MCS_MEGA_BAND env setting overrides the derivation
+    (experiments only)."""
+    env = os.environ.get("MCS_MEGA_BAND")
+    if env is not None:
+        return min(int(env), -(-n_cells // 128) * 128)
+    base = min(2048, -(-n_cells // 128) * 128)
+    if dont_scatter or beta0 <= 0.0:
+        return base
+    ang_dec = math.log10((1.0 + beta0) / max(1.0 - beta0, 1e-12))
+    extra_bins = math.ceil(max(ang_dec * bins_per_dec_mom - 0.5, 0.0))
+    if extra_bins == 0:
+        return base
+    slab = 2 * (n_theta + 1)
+    band = base + -(-(extra_bins * slab) // 128) * 128
+    return min(band, -(-n_cells // 128) * 128)
+
+
+def check_oob(oob, n_cells: int, band: int = 0, seg=None) -> None:
     """Raise on dropped crossing records.  `oob` is the accumulated
     [count, dropped |weight|, total |weight|] vector.  Full-coverage
     configs: ANY drop raises (band overflow is a band-size problem).
     Windowed configs: drops below MCS_MEGA_OOB_TOL of the total
     tallied |weight| are the accepted near-cancellation tail (see
-    _oob_tol); more raises."""
+    _oob_tol); more raises.  `seg` (when given) marks an in-flight
+    ladder check: the raise names the segment instead of burning the
+    rest of the run (the round-6 --dsa run spent its full wall clock
+    before the post-ladder check fired)."""
     oob = np.asarray(oob)
     n_count, oobw, wtot = float(oob[0]), float(oob[1]), float(oob[2])
     if n_count == 0:
         return
-    band, acc_rows, full_pad = _tally_geom(n_cells)
+    band, acc_rows, full_pad = _tally_geom(n_cells, band)
+    at = f" by segment {seg}" if seg is not None else ""
     if acc_rows < full_pad:
         if oobw <= _oob_tol() * max(wtot, 1e-300):
             return
         raise RuntimeError(
-            f"megakernel tally window overflow: {n_count:.0f} records "
-            f"({oobw:.3e} of {wtot:.3e} |weight|) fell outside the "
-            f"{acc_rows}-cell sliding momentum window; raise "
-            f"MCS_MEGA_WINDOW / MCS_MEGA_WIN_MARGIN / "
+            f"megakernel tally window overflow{at}: {n_count:.0f} "
+            f"records ({oobw:.3e} of {wtot:.3e} |weight| = "
+            f"{oobw / max(wtot, 1e-300):.2e}) fell outside the "
+            f"{band}-cell band / {acc_rows}-cell sliding momentum "
+            f"window; raise MCS_MEGA_WINDOW / MCS_MEGA_WIN_MARGIN / "
             f"MCS_MEGA_OOB_TOL, or rerun with MCS_MEGAKERNEL=0")
     raise RuntimeError(
-        f"megakernel tally band overflow: {n_count:.0f} crossing "
+        f"megakernel tally band overflow{at}: {n_count:.0f} crossing "
         f"records fell outside the {band}-cell window; rerun with "
         f"MCS_MEGA_BAND larger or MCS_MEGAKERNEL=0")
 
@@ -1055,12 +1115,27 @@ def megakernel_supported(ss, p_dtype, psd_dtype) -> bool:
     decades of shock-frame momentum per launch)."""
     n_cells = (ss.n_mom + 1) * 2 * (ss.n_theta + 1)
     slab = 2 * (ss.n_theta + 1)
-    window_ok = _win_cap_rows() // slab >= _win_margin() + 20
+    band, acc_rows, full_pad = _tally_geom(n_cells, ss.mega_band)
+    if acc_rows < full_pad:
+        # windowed: the (budget-shrunk) window must still cover the
+        # re-anchor margin + a usable momentum span, and window + band
+        # must fit the combined VMEM row budget (a derived band too
+        # wide for VMEM falls back to the XLA engine, which tallies
+        # the full array and cannot overflow)
+        fits = (acc_rows // slab >= _win_margin() + 20
+                and acc_rows >= band
+                and acc_rows + band <= _tally_rows_budget())
+        if not fits:
+            logging.getLogger(__name__).warning(
+                "megakernel unsupported here: derived tally band "
+                "(%d cells) + sliding window (%d rows) exceed the "
+                "VMEM row budget (%d) or the window coverage floor — "
+                "falling back to the XLA engine", band, acc_rows,
+                _tally_rows_budget())
+            return False
     return (ss.parallel and ss.n_xspec == 0
             and p_dtype == jnp.float32 and psd_dtype == jnp.float32
-            and ss.nb + 1 <= ZPAD
-            and (-(-n_cells // 128) * 128 <= _win_cap_rows()
-                 or window_ok))
+            and ss.nb + 1 <= ZPAD)
 
 
 def megakernel_ok(ss, p_dtype, psd_dtype) -> bool:
@@ -1321,6 +1396,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     against a 256-step launch)."""
     margin = _win_margin()
     acc_rows = min(n_cells_pad, max(_win_cap_rows(), band))
+    if acc_rows < n_cells_pad and acc_rows + band > _tally_rows_budget():
+        acc_rows = max(band, _tally_rows_budget() - band)
     windowed = acc_rows < n_cells_pad
     # momentum re-sort cadence (launches): block momentum coherence
     # (which the per-step tally band relies on) decays as lanes
@@ -1548,7 +1625,7 @@ def run_segment_mega(state, tallies, grids, sc, ss,
 
     n_cells = tallies.psd_diff.shape[0]
     nzc = tallies.psd_diff.shape[1]
-    band, _acc, n_cells_pad = _tally_geom(n_cells)
+    band, _acc, n_cells_pad = _tally_geom(n_cells, ss.mega_band)
 
     launch, _ = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
                             n_steps, interpret=interpret)
@@ -1562,7 +1639,7 @@ def run_segment_mega(state, tallies, grids, sc, ss,
                                                    zs, et, orig)
     check_oob(np.asarray(jnp.stack([
         jnp.sum(aux_acc[A_OVERFLOW]), jnp.sum(aux_acc[A_OOBW]),
-        jnp.sum(aux_acc[A_WTOT])])), n_cells)
+        jnp.sum(aux_acc[A_WTOT])])), n_cells, band=band)
 
     state_out = unpack_state(fs, is_, b, state)
     # zone index is derived from position in-kernel; restore it for
@@ -1698,7 +1775,7 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     return f
 
 
-def drive_ladder_async(dispatch, n_seg: int):
+def drive_ladder_async(dispatch, n_seg: int, check=None):
     """Host loop over pcut segments WITHOUT a per-segment host sync:
     under the remote relay every blocking fetch costs a ~25 ms round
     trip AND drains the dispatch pipeline, so the former
@@ -1717,6 +1794,12 @@ def drive_ladder_async(dispatch, n_seg: int):
     and the mesh ladder (parallel/shard.run_ion_mega_hybrid_sharded)
     so the break policy and dead-tail reporting cannot diverge.
 
+    ``check(i)`` (optional) runs at the same sync points, after the
+    pipeline has drained on int(n_new): the in-flight oob tolerance
+    check (check_oob with seg=i) lives here so a tally overflow raises
+    within MCS_HYBRID_SYNC_EVERY segments of appearing instead of
+    after the whole ladder.
+
     Returns (n_new[n_seg] int64, nsteps[n_seg] uint64) with segments
     past the first die-out reported as the zeros they were."""
     sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
@@ -1728,9 +1811,12 @@ def drive_ladder_async(dispatch, n_seg: int):
         n_new_d.append(n_new)
         nsteps_d.append(nsteps)
         n_done = i + 1
-        if sync_every and n_done % sync_every == 0 \
-                and int(n_new) == 0:
-            break
+        if sync_every and n_done % sync_every == 0:
+            dead = int(n_new) == 0
+            if check is not None:
+                check(i)
+            if dead:
+                break
 
     n_new_out = np.zeros(n_seg, np.int64)
     nsteps_out = np.zeros(n_seg, np.uint64)
@@ -1761,9 +1847,7 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     cfg = _static_cfg(ss, n_tcut_slots=int(grids.tcuts.shape[0]))
     cfg_key = tuple(sorted(cfg.items()))
     n_cells = tallies.psd_diff.shape[0]
-    band = band or min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-                       -(-n_cells // 128) * 128)
-    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+    band, _acc, n_cells_pad = _tally_geom(n_cells, band or ss.mega_band)
     n_steps = n_steps or _STEPS
     b = state.weight.shape[0]
     n_blocks = (-(-b // LANE) + _ROWS - 1) // _ROWS
@@ -1802,7 +1886,14 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
             oob_log.append(oob)
         return n_new, nsteps
 
-    n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg)
+    def oob_check(i):
+        # fail fast: cumulative oob tolerance at every ladder sync
+        # point (adds one 3-scalar fetch per MCS_HYBRID_SYNC_EVERY
+        # segments to an already-drained pipeline)
+        check_oob(np.asarray(oob_acc), n_cells, band=band, seg=i)
+
+    n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg,
+                                               check=oob_check)
     if oob_log:
         # diagnostic only (MCS_OOB_LOG=1): per-segment [count,
         # dropped |w|, total |w|] so a window overflow is attributable
@@ -1829,9 +1920,7 @@ def run_ion_fused_mega(state, tallies, esc, grids, sc, ss,
     from .fused_ion import split_on_device
 
     n_cells = tallies.psd_diff.shape[0]
-    band = band or min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-                       -(-n_cells // 128) * 128)
-    n_cells_pad = -(-max(n_cells, band) // 128) * 128
+    band, _acc, n_cells_pad = _tally_geom(n_cells, band or ss.mega_band)
     n_steps = n_steps or _STEPS
 
     xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),

@@ -310,7 +310,8 @@ def _ion_reduce_prog(psd, therm, gamma_sf, betas, e0, gamma0,
 
 def ion_reduce_device(psd, therm_psd, bins: PsdBins, e0: float,
                       gamma_sf_grid, ux_sk_grid, gamma0: float,
-                      i_approx: int = 2, want_ef: bool = False):
+                      i_approx: int = 2, want_ef: bool = False,
+                      fetch: bool = True):
     """One-dispatch fused reduction: (dn_cr, dn_th, d2n_tot, d2n_ef).
 
     dn_cr / dn_th are the UN-normalized dN/dp [n_mom+1, nb, 3]
@@ -341,6 +342,11 @@ def ion_reduce_device(psd, therm_psd, bins: PsdBins, e0: float,
         bins.bins_per_dec_mom, bins.bins_per_dec_theta, bins.cos_fine,
         bins.dcos, bins.theta_min, bins.n_mom, bins.n_theta,
         i_approx, want_ef)
+    if not fetch:
+        # deferred-fetch mode (engine.driver's overlapped reductions):
+        # the dispatch is async — the caller device_gets later, while
+        # the next species' transport occupies the chip
+        return out
     dn_cr, dn_th, d2n_tot, d2n_ef = jax.device_get(out)
     return (np.asarray(dn_cr), np.asarray(dn_th), np.asarray(d2n_tot),
             None if d2n_ef is None else np.asarray(d2n_ef))

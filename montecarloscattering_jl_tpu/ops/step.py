@@ -161,6 +161,13 @@ class StepStatic:
     # static band width for the Pallas MXU histogram (0 = use the XLA
     # scatter); set via pallas_hist.hist_band_for on TPU backends
     hist_band: int = 0
+    # megakernel per-step tally-band width in cells, derived from the
+    # config's physics by pallas_step.derive_mega_band (the shock-frame
+    # crossing momenta of a scattering-isotropized population span
+    # (1+beta0)/(1-beta0) across pitch angles — ~2 decades at gamma0=5,
+    # transformers.jl:440-476); 0 = the 2048-cell nonrelativistic
+    # default (MCS_MEGA_BAND env override)
+    mega_band: int = 0
 
 
 def _mod2pi(x):

@@ -110,9 +110,8 @@ def sharded_segment_mega(mesh: Mesh, ss: stp.StepStatic,
     state_spec = _state_spec()
     tally_spec = stt.Tallies(*[P() for _ in stt.Tallies._fields])._replace(
         rec=P(None, None, DP_AXIS))
-    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-               -(-n_tallies_cells // 128) * 128)
-    n_cells_pad = -(-max(n_tallies_cells, band) // 128) * 128
+    band, _acc, n_cells_pad = ps._tally_geom(n_tallies_cells,
+                                             ss.mega_band)
     n_steps = n_steps or ps._STEPS
 
     @partial(jax.shard_map, mesh=mesh,
@@ -210,9 +209,8 @@ def sharded_hybrid_seg(mesh: Mesh, ss: stp.StepStatic,
     tally_spec = _stacked_tally_spec()
     esc_spec = EscapeTallies(
         *[P(DP_AXIS) for _ in EscapeTallies._fields])
-    band = min(int(os.environ.get("MCS_MEGA_BAND", 2048)),
-               -(-n_tallies_cells // 128) * 128)
-    n_cells_pad = -(-max(n_tallies_cells, band) // 128) * 128
+    band, _acc, n_cells_pad = ps._tally_geom(n_tallies_cells,
+                                             ss.mega_band)
     n_steps = n_steps or ps._STEPS
     size = mesh.size
 
@@ -299,7 +297,15 @@ def run_ion_mega_hybrid_sharded(seg_fn, mesh: Mesh, state, tal_st,
         oob_acc = oob_acc + oob
         return n_new, nsteps
 
-    n_new_out, nsteps_out = ps.drive_ladder_async(dispatch, n_seg)
+    n_cells = int(
+        (ss.n_mom + 1) * 2 * (ss.n_theta + 1))
+    band, _acc, _fp = ps._tally_geom(n_cells, ss.mega_band)
+
+    def oob_check(i):
+        ps.check_oob(np.asarray(oob_acc), n_cells, band=band, seg=i)
+
+    n_new_out, nsteps_out = ps.drive_ladder_async(dispatch, n_seg,
+                                                  check=oob_check)
     tal, esc = reduce_ion_accumulators(tal_st, esc_st)
     return (state, tal, esc, jnp.asarray(n_new_out),
             jnp.asarray(nsteps_out), oob_acc)

@@ -330,7 +330,7 @@ class RunConfig:
     # smoothing
     prof_weight_fac: float = 1.0
     smooth_mom_energy_fac: float = 0.0      # SMMOE
-    smooth_pressure_flux_psd_fac: float = 0.0  # SMPFP (must stay 0)
+    smooth_pressure_flux_psd_fac: float = 0.0  # SMPFP
     x_art_start_rg: float = 0.0
     x_art_scale: float = 0.0
     r_comp: float = -1.0             # resolved later vs r_RH
