@@ -30,7 +30,13 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", default=None,
                     help="write a checkpoint here after every iteration")
     ap.add_argument("--resume", default=None,
-                    help="resume the iteration loop from a checkpoint")
+                    help="resume from a checkpoint (iteration-boundary "
+                         "NPZ or segment-boundary .mid, auto-detected)")
+    ap.add_argument("--mid-every", type=int, default=0,
+                    help="with --checkpoint: also write a "
+                         "segment-boundary checkpoint (<path>.mid) "
+                         "every N pcut segments so a kill mid-species "
+                         "resumes inside the transport ladder")
     ap.add_argument("--cache-dir", default=None,
                     help="persistent XLA compilation cache directory")
     ap.add_argument("--no-fused", action="store_true",
@@ -88,7 +94,8 @@ def main(argv=None) -> int:
                  p_dtype=jnp.float32 if args.f32 else jnp.float64,
                  mesh=mesh, checkpoint=args.checkpoint,
                  resume=args.resume, fused=not args.no_fused,
-                 compact_levels=args.compact_levels)
+                 compact_levels=args.compact_levels,
+                 mid_every=args.mid_every)
     dt = time.time() - t0
     print(f"finished: {len(result.iterations)} iterations, "
           f"{result.n_trajectories} trajectories, "

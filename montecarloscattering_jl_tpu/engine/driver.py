@@ -173,7 +173,7 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
         emission_hook=None, p_dtype=None, mesh=None,
         checkpoint: str | None = None,
         resume: str | None = None, fused: bool = True,
-        compact_levels: int = -1) -> RunResult:
+        compact_levels: int = -1, mid_every: int = 0) -> RunResult:
     """Full nonlinear run (main_loops.jl:52-391).
 
     `emission_hook(setup, prof, ion_finals, i_iter)` is called after
@@ -183,6 +183,14 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     batch over devices.  `checkpoint`/`resume` persist the nonlinear
     fixed-point state between processes (the restart the reference
     never implemented, MonteCarloScattering.jl:462).
+
+    `mid_every` > 0 (or MCS_MID_CKPT_EVERY) additionally writes a
+    SEGMENT-boundary checkpoint to ``checkpoint + '.mid'`` every that
+    many pcut segments, so a run whose long pole is one species'
+    transport ladder can resume inside it: live population (with
+    per-lane RNG keys/counters), pcut index, tally accumulators,
+    iteration tallies, and completed species' reductions.  ``resume``
+    accepts either flavor and detects which one it was given.
     """
     from ..utils.tracing import PhaseTimers
     # positions/PRP/acctime are float64 by contract (the grid spans 14
@@ -221,20 +229,34 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
     prof_weight_fac = cfg.prof_weight_fac
     i_start = 0
 
+    mid_resume = None      # (i_ion, transport payload, it, finals)
     if resume is not None:
-        from ..parallel.checkpoint import load_checkpoint
-        ck = load_checkpoint(resume)
-        prof = ck["profile"]
-        gamma_grid = ck["gamma_grid"]
+        from ..parallel.checkpoint import (
+            is_mid_checkpoint, load_checkpoint, load_mid_checkpoint)
+        if is_mid_checkpoint(resume):
+            mid = load_mid_checkpoint(resume)
+            d = mid["driver"]
+            ck = d
+            prof = d["profile"]
+            mid_resume = mid
+            engine.n_pushes_total = int(d["engine_pushes"])
+            engine.n_trajectories_total = int(d["engine_trajs"])
+        else:
+            ck = load_checkpoint(resume)
+            prof = ck["profile"]
+        gamma_grid = np.array(ck["gamma_grid"])
         n = min(len(ck["q_px_hist"]), cfg.n_itrs)
         q_px_hist[:n] = ck["q_px_hist"][:n]
         q_en_hist[:n] = ck["q_en_hist"][:n]
         px_esc_hist[:n] = ck["px_esc_hist"][:n]
         en_esc_hist[:n] = ck["en_esc_hist"][:n]
         gamma_dw_hist[:n] = ck["gamma_dw_hist"][:n]
-        prof_weight_fac = ck["prof_weight_fac"]
-        i_start = ck["i_iter"]
-        log.info("resumed from %s at iteration %d", resume, i_start)
+        prof_weight_fac = float(ck["prof_weight_fac"])
+        i_start = int(ck["i_iter"])
+        log.info("resumed from %s at iteration %d%s", resume, i_start,
+                 (" (mid-iteration, species %d segment %d)"
+                  % (mid["i_ion"], mid["next_seg"]))
+                 if mid_resume is not None else "")
 
     rho0 = sum(s.number_density * s.mass for s in cfg.species)
     result = RunResult(setup=setup)
@@ -251,13 +273,53 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
                and os.environ.get("MCS_OVERLAP_REDUCE", "1") == "1")
     pool = ThreadPoolExecutor(max_workers=1) if overlap else None
 
+    mid_ckpt = None
+    mid_every = mid_every or int(os.environ.get("MCS_MID_CKPT_EVERY",
+                                                "0"))
+    if checkpoint is not None and mid_every > 0:
+        from ..parallel.checkpoint import MidCheckpointer
+        mid_ckpt = MidCheckpointer(
+            checkpoint + ".mid", every=mid_every,
+            stop_after_save=os.environ.get(
+                "MCS_MID_STOP_AFTER", "0") == "1")
+
     for i_iter in range(i_start, cfg.n_itrs):
         log.info("iteration %d/%d", i_iter + 1, cfg.n_itrs)
         it = engine.new_iteration_tallies(prof)
         pending = []
-        for i_ion in range(cfg.n_ions):
+        i_ion_start = 0
+        resume_tr = None
+        if mid_resume is not None and i_iter == i_start:
+            # mid-iteration resume: completed species' reductions come
+            # from the checkpoint; the in-flight species restores its
+            # population and continues at the saved segment
+            it = mid_resume["it"]
+            i_ion_start = int(mid_resume["i_ion"])
+            pending = list(mid_resume["driver"]["ion_finals"])
+            resume_tr = mid_resume
+            mid_resume = None
+        for i_ion in range(i_ion_start, cfg.n_ions):
+            if mid_ckpt is not None:
+                def _ctx(pend=list(pending), ii=i_iter):
+                    return dict(
+                        profile=prof, gamma_grid=gamma_grid.copy(),
+                        q_px_hist=q_px_hist.copy(),
+                        q_en_hist=q_en_hist.copy(),
+                        px_esc_hist=px_esc_hist.copy(),
+                        en_esc_hist=en_esc_hist.copy(),
+                        gamma_dw_hist=gamma_dw_hist.copy(),
+                        prof_weight_fac=prof_weight_fac, i_iter=ii,
+                        random_seed=cfg.random_seed,
+                        engine_pushes=engine.n_pushes_total,
+                        engine_trajs=engine.n_trajectories_total,
+                        ion_finals=[p.result() if hasattr(p, "result")
+                                    else p for p in pend])
+                mid_ckpt.context_fn = _ctx
             with timers.phase("transport"):
-                res = engine.run_ion(i_iter, i_ion, prof, it)
+                res = engine.run_ion(i_iter, i_ion, prof, it,
+                                     ckpt=mid_ckpt,
+                                     resume_mid=resume_tr)
+            resume_tr = None
             want_2d = (cfg.species[i_ion].is_electron
                        or i_ion == cfg.n_ions - 1)
             with timers.phase("reductions"):
@@ -265,7 +327,8 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
                                          want_2d)
                 pending.append(pool.submit(fin) if pool else fin())
         with timers.phase("reductions"):
-            ion_finals = [p.result() if pool else p for p in pending]
+            ion_finals = [p.result() if hasattr(p, "result") else p
+                          for p in pending]
 
         # ---- iteration close-out (iter_finalize.jl:20-54) ------------------
         px_esc_hist[i_iter] = (it.px_esc_upstream / setup.f_px_upstream)
@@ -335,6 +398,10 @@ def run(cfg: RunConfig | str, out_dir: str | None = None,
                 en_esc_hist=en_esc_hist, gamma_dw_hist=gamma_dw_hist,
                 prof_weight_fac=prof_weight_fac,
                 random_seed=cfg.random_seed)
+            if mid_ckpt is not None and os.path.exists(mid_ckpt.path):
+                # the iteration checkpoint supersedes any mid-iteration
+                # state from inside this iteration
+                os.remove(mid_ckpt.path)
 
     if pool is not None:
         pool.shutdown(wait=True)

@@ -40,6 +40,17 @@ def _round_up(n: int, m: int = 128) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _merge_prefix(prefix, cur, start: int, dtype) -> np.ndarray:
+    """Splice per-segment counters from a resumed checkpoint
+    ([0, start)) with the counters of the continued ladder
+    ([start, start+len(cur)))."""
+    out = np.zeros(start + len(cur), dtype)
+    if prefix is not None:
+        out[:start] = np.asarray(prefix, dtype)[:start]
+    out[start:] = np.asarray(cur, dtype)
+    return out
+
+
 @dataclass
 class IonResult:
     """Per-(iteration, species) tallies after all pcuts."""
@@ -252,11 +263,30 @@ class TransportEngine:
     # -- the loops ----------------------------------------------------------
 
     def run_ion(self, i_iter: int, i_ion: int, prof,
-                it: IterationTallies) -> IonResult:
-        """All pcuts for one species (main_loops.jl:95-341 inner part)."""
+                it: IterationTallies, ckpt=None,
+                resume_mid=None) -> IonResult:
+        """All pcuts for one species (main_loops.jl:95-341 inner part).
+
+        ``ckpt`` (parallel/checkpoint.MidCheckpointer) saves a
+        segment-boundary checkpoint every ``ckpt.every`` pcut segments
+        on the paths with host-visible boundaries: the host-split
+        per-pcut loop (exact) and the single-device megakernel hybrid
+        ladder (at its sync points).  ``resume_mid`` is a payload from
+        load_mid_checkpoint for THIS (i_iter, i_ion): the population,
+        accumulators, and segment index are restored and the ladder
+        continues from the saved boundary."""
         setup, cfg, bins = self.setup, self.setup.cfg, self.setup.bins
         s = cfg.species[i_ion]
         nb, b = setup.nb, self.batch_size
+        if resume_mid is not None:
+            if (resume_mid["i_iter"], resume_mid["i_ion"]) != \
+                    (i_iter, i_ion):
+                raise ValueError(
+                    "mid checkpoint is for (iter %d, ion %d), not "
+                    "(%d, %d)" % (resume_mid["i_iter"],
+                                  resume_mid["i_ion"], i_iter, i_ion))
+        if ckpt is not None:
+            ckpt.reset(resume_mid["next_seg"] if resume_mid else 0)
         # MCS_SUBTIMERS=1: attribute the transport phase to
         # [population setup | ladder | tally fetch] in self.subtimers
         # (adds two device syncs per species — measurement runs only)
@@ -269,31 +299,41 @@ class TransportEngine:
         ion_key = jax.random.fold_in(
             jax.random.fold_in(self.base_key, i_iter), i_ion)
 
-        # injected population (main_loops.jl:126-153); deterministic rng
-        # keyed like the reference's Xoshiro(f(i_iter, i_ion))
-        rng = np.random.default_rng(
-            (cfg.random_seed, i_iter, i_ion))
-        pop = init_pop(
-            rng, cfg.species, i_ion, cfg.inp_distr, cfg.energy_inj,
-            cfg.inj_weight, cfg.n_pts_inj, setup.x_grid_start, cfg.rg0,
-            cfg.eta_mfp, cfg.do_fast_push, cfg.x_fast_stop_rg, cfg.beta0,
-            cfg.gamma0, cfg.u0, setup.x_grid_rg, prof.ux_sk, prof.gamma_sf)
-        # fast-push analytic flux backfill (init_pop returns zeros when
-        # not applicable)
-        it.pxx_flux += pop.pxx_flux
-        it.pxz_flux += pop.pxz_flux
-        it.energy_flux += pop.energy_flux
+        if resume_mid is None:
+            # injected population (main_loops.jl:126-153);
+            # deterministic rng keyed like the reference's
+            # Xoshiro(f(i_iter, i_ion))
+            rng = np.random.default_rng(
+                (cfg.random_seed, i_iter, i_ion))
+            pop = init_pop(
+                rng, cfg.species, i_ion, cfg.inp_distr, cfg.energy_inj,
+                cfg.inj_weight, cfg.n_pts_inj, setup.x_grid_start,
+                cfg.rg0, cfg.eta_mfp, cfg.do_fast_push,
+                cfg.x_fast_stop_rg, cfg.beta0, cfg.gamma0, cfg.u0,
+                setup.x_grid_rg, prof.ux_sk, prof.gamma_sf)
+            # fast-push analytic flux backfill (init_pop returns zeros
+            # when not applicable)
+            it.pxx_flux += pop.pxx_flux
+            it.pxz_flux += pop.pxz_flux
+            it.energy_flux += pop.energy_flux
 
-        n0 = len(pop.ptot_pf)
-        pad = lambda a, fill=0.0: np.concatenate(
-            [np.asarray(a), np.full(b - len(a), fill,
-                                    np.asarray(a).dtype)])
-        state = stt.init_state(
-            pad(pop.weight), pad(pop.ptot_pf), pad(pop.pb_pf),
-            pad(pop.x_cm), pad(pop.i_grid).astype(np.int32),
-            pad(prof.ux_sk[pop.i_grid]), cfg.xn_per_fine,
-            setup.x_grid_stop, jax.random.fold_in(ion_key, 0),
-            p_dtype=self.p_dtype)
+            n0 = len(pop.ptot_pf)
+            pad = lambda a, fill=0.0: np.concatenate(
+                [np.asarray(a), np.full(b - len(a), fill,
+                                        np.asarray(a).dtype)])
+            state = stt.init_state(
+                pad(pop.weight), pad(pop.ptot_pf), pad(pop.pb_pf),
+                pad(pop.x_cm), pad(pop.i_grid).astype(np.int32),
+                pad(prof.ux_sk[pop.i_grid]), cfg.xn_per_fine,
+                setup.x_grid_stop, jax.random.fold_in(ion_key, 0),
+                p_dtype=self.p_dtype)
+        else:
+            # population (incl. per-lane PRNG keys + step counters)
+            # restored from the segment-boundary checkpoint; the
+            # backfill fluxes are already inside the restored `it`
+            state = stt.ParticleState(*[
+                jnp.asarray(x) for x in resume_mid["state"]])
+            n0 = int(resume_mid["trajectories"])
 
         # per-ion accumulators (cleared per species, ion_init.jl:1-16)
         psd_acc = np.zeros((bins.n_mom + 1, bins.n_theta + 1, nb))
@@ -378,6 +418,23 @@ class TransportEngine:
                                            65536))
 
             n_psd_cells = (bins.n_mom + 1) * 2 * (bins.n_theta + 1)
+            seg_visible = use_mega and mega_mode != "scan" \
+                and not use_mesh_hybrid
+            if not seg_visible:
+                if resume_mid is not None:
+                    raise ValueError(
+                        "mid checkpoint resume needs a path with "
+                        "host-visible segment boundaries (host-split "
+                        "loop or single-device hybrid ladder); this "
+                        "run selected %s" % (
+                            "the mesh hybrid ladder" if use_mesh_hybrid
+                            else "a fused whole-ladder program"))
+                if ckpt is not None:
+                    log.warning(
+                        "mid checkpointing inactive for iter %d ion "
+                        "%d: the selected engine path runs the whole "
+                        "ladder without host-visible segment "
+                        "boundaries", i_iter, i_ion)
             if use_mesh_hybrid:
                 from ..parallel.shard import (
                     run_ion_mega_hybrid_sharded, shard_state,
@@ -398,12 +455,56 @@ class TransportEngine:
                         np.asarray(n_targets), seg_keys))
                 pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif use_mega and mega_mode != "scan":
+                start_seg, init_oob = 0, None
+                prefix_new = prefix_steps = None
+                if resume_mid is not None:
+                    if resume_mid["mode"] != "hybrid":
+                        raise ValueError(
+                            "mid checkpoint was written by the %r "
+                            "path but this run selects the hybrid "
+                            "ladder; rerun with the same engine "
+                            "configuration" % resume_mid["mode"])
+                    start_seg = int(resume_mid["next_seg"])
+                    init_oob = resume_mid["oob"]
+                    prefix_new = np.asarray(resume_mid["n_new"],
+                                            np.int64)
+                    prefix_steps = np.asarray(resume_mid["nsteps"],
+                                              np.uint64)
+                    tal = stt.Tallies(*[jnp.asarray(x)
+                                        for x in resume_mid["tal"]])
+                    esc = EscapeTallies(*[jnp.asarray(x)
+                                          for x in resume_mid["esc"]])
+                capture = None
+                if ckpt is not None:
+                    def capture(i, st, tl, es, oob_d, n_new_a,
+                                nsteps_a):
+                        ckpt.maybe(i + 1, lambda: dict(
+                            mode="hybrid", i_iter=i_iter, i_ion=i_ion,
+                            next_seg=i + 1, state=st, tal=tl, esc=es,
+                            oob=np.asarray(oob_d),
+                            n_new=_merge_prefix(prefix_new, n_new_a,
+                                                start_seg, np.int64),
+                            nsteps=_merge_prefix(prefix_steps,
+                                                 nsteps_a, start_seg,
+                                                 np.uint64),
+                            trajectories=trajectories, it=it))
                 state, tal, esc, n_new, nsteps, oob = (
                     pstep.run_ion_mega_hybrid(
                         state, tal, esc, grids, sc, ss,
                         np.asarray(cfg.pcuts),
                         np.concatenate([[0.0], cfg.pcuts[:-1]]),
-                        np.asarray(n_targets), seg_keys))
+                        np.asarray(n_targets), seg_keys,
+                        start_seg=start_seg, init_oob=init_oob,
+                        capture=capture))
+                if prefix_new is not None:
+                    # segments below start_seg ran before the resume;
+                    # splice their counters back for push accounting
+                    n_new_h = np.asarray(n_new, np.int64)
+                    nsteps_h = np.asarray(nsteps).astype(np.uint64)
+                    n_new_h[:start_seg] = prefix_new[:start_seg]
+                    nsteps_h[:start_seg] = prefix_steps[:start_seg]
+                    n_new, nsteps = jnp.asarray(n_new_h), \
+                        jnp.asarray(nsteps_h)
                 pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif use_mega:   # mega_mode == "scan"
                 state, tal, esc, n_new, nsteps, oob = (
@@ -411,7 +512,17 @@ class TransportEngine:
                         state, tal, esc, grids, sc, ss,
                         pcuts, pcut_prevs, n_targets, seg_keys))
                 pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
-            elif self.batch_size <= fused_max:
+            elif self.batch_size <= fused_max and (
+                    jax.default_backend() != "tpu"
+                    or n_pcuts <= int(os.environ.get(
+                        "MCS_FUSED_MAX_SEGS", "16"))):
+                # The whole-ladder lax.scan program faults the TPU
+                # runtime for LONG ladders: >= 128k lanes x 45 segs
+                # (scripts/repro_fused_128k.py, round 4) and now also
+                # 2k lanes x 51 segs x 200k-step helix cap (the
+                # round-7 --dsa XLA baseline crashed the worker), so
+                # on TPU it is gated to short ladders and the
+                # per-segment hybrid below takes long ones.
                 state, tal, esc, n_new, nsteps = run_ion_fused_jit(
                     state, tal, esc, grids, sc, ss,
                     pcuts, pcut_prevs, n_targets, seg_keys,
@@ -502,7 +613,24 @@ class TransportEngine:
                 n_pushes=pushes, n_trajectories=trajectories)
 
         seg_run = self._segment_runner(ss)
-        for i_pcut in range(len(cfg.pcuts)):
+        start_pcut = 0
+        if resume_mid is not None:
+            if resume_mid["mode"] != "host":
+                raise ValueError(
+                    "mid checkpoint was written by the %r path but "
+                    "this run selects the host-split loop; rerun with "
+                    "the same engine configuration"
+                    % resume_mid["mode"])
+            start_pcut = int(resume_mid["next_seg"])
+            psd_acc = np.array(resume_mid["psd_acc"])
+            therm_acc = np.array(resume_mid["therm_acc"])
+            ncross_acc = np.array(resume_mid["ncross_acc"])
+            spectra_sf = np.array(resume_mid["spectra_sf"])
+            spectra_pf = np.array(resume_mid["spectra_pf"])
+            esc = EscapeTallies(*[np.array(x)
+                                  for x in resume_mid["esc"]])
+            pushes = int(resume_mid["pushes"])
+        for i_pcut in range(start_pcut, len(cfg.pcuts)):
             sc = self.segment_scalars(i_ion, i_pcut, prof.bmag2)
             tal = stt.make_tallies(nb, bins.n_mom, bins.n_theta,
                                    len(cfg.x_spec), self.n_tcut_slots,
@@ -556,6 +684,20 @@ class TransportEngine:
             # preserve per-lane PRP from the saved state
             state = state._replace(
                 prp_x=jnp.asarray(split.prp_x, stt.X_DTYPE))
+
+            if ckpt is not None:
+                # segment boundary: the freshly split state is exactly
+                # what segment i_pcut+1 consumes, so a resume here is
+                # bitwise-identical to the uninterrupted run (the seg
+                # RNG key depends only on (seed, iter, ion, pcut))
+                ckpt.maybe(i_pcut + 1, lambda: dict(
+                    mode="host", i_iter=i_iter, i_ion=i_ion,
+                    next_seg=i_pcut + 1, state=state,
+                    psd_acc=psd_acc, therm_acc=therm_acc,
+                    ncross_acc=ncross_acc, spectra_sf=spectra_sf,
+                    spectra_pf=spectra_pf,
+                    esc=jax.tree.map(np.asarray, esc),
+                    pushes=pushes, trajectories=trajectories, it=it))
 
         self.n_pushes_total += pushes
         self.n_trajectories_total += trajectories

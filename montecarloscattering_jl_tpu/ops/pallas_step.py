@@ -91,6 +91,11 @@ _STEPS = int(os.environ.get("MCS_MEGA_STEPS", 256))  # steps per launch
 _NF = 12   # f32 state fields
 _NI = 7    # i32 state fields
 ZPAD = 128
+# band-contraction tile rows: the [tile, K] one-hot intermediate and
+# the [tile, ZPAD] scratch are the tally's VMEM footprint, so bands
+# wider than this (relativistic configs, derive_mega_band) loop tiles
+# instead of growing VMEM
+_TILE = 2048
 
 # f32 state stack rows
 F_W, F_PB, F_PP, F_PHI, F_UXP, F_XNP, F_TST, F_PRP = range(8)
@@ -660,28 +665,46 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
             vz4 = vz_sr.reshape(n_ch, K)
             ve4 = ve_sr.reshape(n_ch, K)
             vn4 = v_n.reshape(n_ch, K)
-            c_iota = lax.broadcasted_iota(jnp.int32, (band, K), 0) + blo_c
             z_iota2 = lax.broadcasted_iota(jnp.int32, (ZPAD, K), 0)
+            # zone patterns + flux tallies once per chunk; the per-chunk
+            # b matrices are reused by every band tile below
+            bs = []
             for ch in range(n_ch):
-                cr = cell4[ch:ch + 1, :]
-                a = (cr == c_iota).astype(jnp.bfloat16)   # [band, K]
                 lr = lo4[ch:ch + 1, :]
                 hr = hi4[ch:ch + 1, :]
                 pat = ((z_iota2 == lr).astype(jnp.float32)
                        - (z_iota2 == hr + jnp.int32(1))
                        .astype(jnp.float32))
                 patb = pat.astype(jnp.bfloat16)
-                b = patb * wsr4[ch:ch + 1, :].astype(jnp.bfloat16)
-                d = _dot_ll(a, b)                         # [band, ZPAD]
-                if ch == 0:
-                    psd_scr[:] = d
-                else:
-                    psd_scr[:] += d
+                bs.append(patb * wsr4[ch:ch + 1, :].astype(jnp.bfloat16))
                 vals = jnp.concatenate(
                     [vx4[ch:ch + 1], vz4[ch:ch + 1], ve4[ch:ch + 1],
                      vn4[ch:ch + 1]], axis=0).astype(jnp.bfloat16)
                 aux_out[A_FLUX0:A_FLUX0 + 4, :] += _dot_ll(vals, patb)
-            psd_out[pl.ds(blo_c, band), :] += psd_scr[:]
+            # band contraction in TILE-row tiles: the [tile, K] one-hot
+            # is the VMEM-dominant intermediate (a monolithic
+            # [band, K] bf16 one-hot is 17 MB at the derived
+            # relativistic band of 8448 cells — it OOMed the 16 MB
+            # scoped-VMEM limit), so wide bands pay more MXU passes of
+            # the same proven [<=2048, K] shape instead of more VMEM.
+            # Per-cell accumulation order is unchanged (each cell lives
+            # in exactly one tile and still sums chunks in order), so
+            # band <= 2048 configs are bit-identical to the untiled
+            # code.
+            for t0 in range(0, band, _TILE):
+                tw = min(_TILE, band - t0)
+                c_iota = (lax.broadcasted_iota(jnp.int32, (tw, K), 0)
+                          + (blo_c + jnp.int32(t0)))
+                for ch in range(n_ch):
+                    cr = cell4[ch:ch + 1, :]
+                    a = (cr == c_iota).astype(jnp.bfloat16)  # [tw, K]
+                    d = _dot_ll(a, bs[ch])                   # [tw, ZPAD]
+                    if ch == 0:
+                        psd_scr[pl.ds(0, tw), :] = d
+                    else:
+                        psd_scr[pl.ds(0, tw), :] += d
+                psd_out[pl.ds(blo_c + jnp.int32(t0), tw), :] += \
+                    psd_scr[pl.ds(0, tw), :]
 
         # escaping flux at the upstream FEB
         esc_cross = (moving & injf & (xhi < feb_up)
@@ -1007,10 +1030,13 @@ def _oob_tol() -> float:
 
 def _tally_rows_budget() -> int:
     """Combined VMEM row budget for the window accumulator + the
-    per-step band scratch ([rows, ZPAD] f32 each; 24,576 rows = 12 MB
-    of the ~16 MB/core VMEM, leaving room for the lane-state blocks
-    and compiler temporaries)."""
-    return int(os.environ.get("MCS_MEGA_TALLY_ROWS", 24576))
+    per-step band-tile scratch ([rows, ZPAD] f32 each; 20,480 rows =
+    10.5 MB).  The band contraction is tiled at _TILE rows (the
+    [tile, K] one-hot is the dominant transient: a monolithic
+    [8448, 1024] bf16 one-hot OOMed the 16 MB scoped-VMEM limit on
+    the first gamma0=5 compile), so the budget constrains
+    acc_rows + min(band, _TILE) — nearly band-independent."""
+    return int(os.environ.get("MCS_MEGA_TALLY_ROWS", 20480))
 
 
 def _tally_geom(n_cells: int, band: int = 0):
@@ -1024,8 +1050,9 @@ def _tally_geom(n_cells: int, band: int = 0):
                        -(-n_cells // 128) * 128)
     full_pad = -(-max(n_cells, band) // 128) * 128
     acc_rows = min(full_pad, max(_win_cap_rows(), band))
-    if acc_rows < full_pad and acc_rows + band > _tally_rows_budget():
-        acc_rows = max(band, _tally_rows_budget() - band)
+    tile = min(band, _TILE)
+    if acc_rows < full_pad and acc_rows + tile > _tally_rows_budget():
+        acc_rows = max(band, _tally_rows_budget() - tile)
     return band, acc_rows, full_pad
 
 
@@ -1118,13 +1145,14 @@ def megakernel_supported(ss, p_dtype, psd_dtype) -> bool:
     band, acc_rows, full_pad = _tally_geom(n_cells, ss.mega_band)
     if acc_rows < full_pad:
         # windowed: the (budget-shrunk) window must still cover the
-        # re-anchor margin + a usable momentum span, and window + band
-        # must fit the combined VMEM row budget (a derived band too
-        # wide for VMEM falls back to the XLA engine, which tallies
-        # the full array and cannot overflow)
+        # re-anchor margin + a usable momentum span, and window +
+        # band-tile scratch must fit the combined VMEM row budget (a
+        # derived band too wide for VMEM falls back to the XLA
+        # engine, which tallies the full array and cannot overflow)
         fits = (acc_rows // slab >= _win_margin() + 20
                 and acc_rows >= band
-                and acc_rows + band <= _tally_rows_budget())
+                and acc_rows + min(band, _TILE)
+                <= _tally_rows_budget())
         if not fits:
             logging.getLogger(__name__).warning(
                 "megakernel unsupported here: derived tally band "
@@ -1396,8 +1424,9 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     against a 256-step launch)."""
     margin = _win_margin()
     acc_rows = min(n_cells_pad, max(_win_cap_rows(), band))
-    if acc_rows < n_cells_pad and acc_rows + band > _tally_rows_budget():
-        acc_rows = max(band, _tally_rows_budget() - band)
+    tile = min(band, _TILE)
+    if acc_rows < n_cells_pad and acc_rows + tile > _tally_rows_budget():
+        acc_rows = max(band, _tally_rows_budget() - tile)
     windowed = acc_rows < n_cells_pad
     # momentum re-sort cadence (launches): block momentum coherence
     # (which the per-step tally band relies on) decays as lanes
@@ -1502,7 +1531,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                              lambda i, s, a: (i - i, i - i),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((band, ZPAD), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((min(band, _TILE), ZPAD),
+                                       jnp.float32)],
         )
         fs2, is2, psd_d, aux, tc_d = pl.pallas_call(
             kern,
@@ -1775,7 +1805,8 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     return f
 
 
-def drive_ladder_async(dispatch, n_seg: int, check=None):
+def drive_ladder_async(dispatch, n_seg: int, check=None, capture=None,
+                       start: int = 0):
     """Host loop over pcut segments WITHOUT a per-segment host sync:
     under the remote relay every blocking fetch costs a ~25 ms round
     trip AND drains the dispatch pipeline, so the former
@@ -1800,13 +1831,21 @@ def drive_ladder_async(dispatch, n_seg: int, check=None):
     within MCS_HYBRID_SYNC_EVERY segments of appearing instead of
     after the whole ladder.
 
+    ``capture(i, n_new_arr, nsteps_arr)`` (optional) also runs at sync
+    points, after check: the mid-iteration checkpoint hook
+    (parallel/checkpoint.MidCheckpointer).  It receives the
+    host-fetched per-segment counters for segments [start, i] so a
+    resume can reconstruct the push accounting.  ``start`` begins the
+    ladder at a later segment (resume): segments below it are reported
+    as zeros for the caller to overwrite from its checkpoint.
+
     Returns (n_new[n_seg] int64, nsteps[n_seg] uint64) with segments
     past the first die-out reported as the zeros they were."""
     sync_every = int(os.environ.get("MCS_HYBRID_SYNC_EVERY", "8"))
     n_new_d: list = []
     nsteps_d: list = []
-    n_done = 0
-    for i in range(n_seg):
+    n_done = start
+    for i in range(start, n_seg):
         n_new, nsteps = dispatch(i)
         n_new_d.append(n_new)
         nsteps_d.append(nsteps)
@@ -1815,27 +1854,35 @@ def drive_ladder_async(dispatch, n_seg: int, check=None):
             dead = int(n_new) == 0
             if check is not None:
                 check(i)
+            if capture is not None:
+                capture(i, np.asarray(jnp.stack(n_new_d), np.int64),
+                        np.asarray(jnp.stack(nsteps_d)).astype(
+                            np.uint64))
             if dead:
                 break
 
     n_new_out = np.zeros(n_seg, np.int64)
     nsteps_out = np.zeros(n_seg, np.uint64)
-    n_new_out[:n_done] = np.asarray(jnp.stack(n_new_d), np.int64)
-    nsteps_out[:n_done] = np.asarray(
-        jnp.stack(nsteps_d)).astype(np.uint64)
+    if n_new_d:
+        n_new_out[start:n_done] = np.asarray(jnp.stack(n_new_d),
+                                             np.int64)
+        nsteps_out[start:n_done] = np.asarray(
+            jnp.stack(nsteps_d)).astype(np.uint64)
     # report the same tail as the host splitter: segments past the
-    # first die-out ran as no-ops and stay zero
-    dead = np.flatnonzero(n_new_out[:n_done] == 0)
+    # first die-out ran as no-ops and stay zero (scan only the
+    # segments this call ran — [0, start) are the caller's)
+    dead = np.flatnonzero(n_new_out[start:n_done] == 0)
     if dead.size:
-        n_new_out[dead[0] + 1:] = 0
-        nsteps_out[dead[0] + 1:] = 0
+        n_new_out[start + dead[0] + 1:] = 0
+        nsteps_out[start + dead[0] + 1:] = 0
     return n_new_out, nsteps_out
 
 
 def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
                         pcuts, pcut_prevs, n_targets, seg_keys,
                         band: int = 0, n_steps: int = 0,
-                        interpret: bool = False):
+                        interpret: bool = False, start_seg: int = 0,
+                        init_oob=None, capture=None):
     """Transport one species through the whole pcut ladder with the
     megakernel, one jitted [drain -> finish -> split] program per
     segment (see _get_hybrid_seg).  Host-level loop over pcuts with an
@@ -1843,7 +1890,17 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
 
     pcuts / pcut_prevs / n_targets are host sequences; seg_keys is a
     [n_seg] key array.  Returns the same tuple as run_ion_fused_mega:
-    (state, tallies, esc, n_new[n_seg], nsteps[n_seg], oob)."""
+    (state, tallies, esc, n_new[n_seg], nsteps[n_seg], oob).
+
+    Mid-iteration checkpointing (parallel/checkpoint.py): ``capture``
+    is called at the ladder's sync points as
+    ``capture(i, state, tallies, esc, oob, n_new_arr, nsteps_arr)``
+    with the pipeline drained, so the device trees it fetches are the
+    exact post-segment-i values.  ``start_seg``/``init_oob`` resume a
+    checkpointed ladder: the caller passes the restored state /
+    tallies / esc and the saved cumulative oob vector, and segments
+    below start_seg are reported as zeros to be overwritten from its
+    checkpoint."""
     cfg = _static_cfg(ss, n_tcut_slots=int(grids.tcuts.shape[0]))
     cfg_key = tuple(sorted(cfg.items()))
     n_cells = tallies.psd_diff.shape[0]
@@ -1867,7 +1924,8 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     pcuts_h = np.asarray(pcuts, np.float64)
     prevs_h = np.asarray(pcut_prevs, np.float64)
     targets_h = np.asarray(n_targets, np.int64)
-    oob_acc = jnp.zeros((3,), jnp.float64)
+    oob_acc = (jnp.zeros((3,), jnp.float64) if init_oob is None
+               else jnp.asarray(init_oob, jnp.float64))
     p_dtype = state.pb.dtype
 
     oob_log: list = [] if os.environ.get("MCS_OOB_LOG") else None
@@ -1892,8 +1950,16 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
         # segments to an already-drained pipeline)
         check_oob(np.asarray(oob_acc), n_cells, band=band, seg=i)
 
+    cap = None
+    if capture is not None:
+        def cap(i, n_new_arr, nsteps_arr):
+            capture(i, state, tallies, esc, oob_acc, n_new_arr,
+                    nsteps_arr)
+
     n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg,
-                                               check=oob_check)
+                                               check=oob_check,
+                                               capture=cap,
+                                               start=start_seg)
     if oob_log:
         # diagnostic only (MCS_OOB_LOG=1): per-segment [count,
         # dropped |w|, total |w|] so a window overflow is attributable

@@ -60,10 +60,15 @@ class TestDeriveMegaBand:
 
 
 class TestTallyGeometry:
-    def test_wide_band_shrinks_window(self):
+    def test_wide_band_keeps_full_window(self):
+        # the tiled band contraction makes VMEM nearly
+        # band-independent: the budget constrains window + one
+        # _TILE-row scratch, so the gamma0=5 band keeps the full
+        # 16,384-row window (51 momentum bins of coverage)
         band, acc, full = ps._tally_geom(N_CELLS, 8448)
         assert (band, full) == (8448, 55040)
-        assert acc + band <= ps._tally_rows_budget()
+        assert acc == 16384
+        assert acc + min(band, ps._TILE) <= ps._tally_rows_budget()
         assert acc >= band
 
     def test_default_band_keeps_full_window(self):
@@ -71,8 +76,9 @@ class TestTallyGeometry:
         assert (band, acc) == (2048, 16384)
 
     def test_supported_falls_back_on_oversized_band(self):
-        # a band over half the row budget cannot coexist with any
-        # window: megakernel_supported must say no (XLA fallback)
+        # a band that cannot fit the row budget even with the window
+        # collapsed onto it (band + one tile of scratch > budget):
+        # megakernel_supported must say no (XLA fallback)
         ss = stp.StepStatic(
             eta_mfp=1.0, xn_per_coarse=50.0, xn_per_fine=2000.0,
             dont_scatter=False, dont_dsa=False, do_rad_losses=False,
@@ -82,7 +88,7 @@ class TestTallyGeometry:
             i_shock=10, nb=64, psd_mom_min=1e-14, bins_per_dec_mom=10,
             n_mom=171, cos_fine=0.969, dcos=1.0 / 80, theta_min=1e-4,
             bins_per_dec_theta=10, n_theta=159,
-            mega_band=ps._tally_rows_budget() // 2 + 128)
+            mega_band=ps._tally_rows_budget() - ps._TILE + 128)
         assert not ps.megakernel_supported(ss, jnp.float32, jnp.float32)
         import dataclasses
         ok = dataclasses.replace(ss, mega_band=8448)
