@@ -14,6 +14,7 @@ O(beta^2)-expanded fluxes.
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 
@@ -76,15 +77,29 @@ def smooth_profile_inplace(y: np.ndarray, lo: int, hi: int) -> None:
 
 
 def _rescale(u_new: np.ndarray, lo: int, hi: int, u0: float, u2: float,
-             x_grid_rg: np.ndarray) -> None:
+             x_grid_rg: np.ndarray) -> bool:
     """Rescale so the profile spans exactly (u0 -> u2), pinning the
-    downstream side (smoothers.jl:437-454)."""
+    downstream side (smoothers.jl:437-454).
+
+    Returns False when the solve is DEGENERATE: if the per-zone flux
+    solves came out (near-)flat — a dead or starved population gives
+    Gamma_grid -> 1, xi = Gamma/(Gamma-1) -> 1e6, and every zone
+    solves to the same tiny velocity — the span (u_new[lo] - avg_dw)
+    vanishes and no rescale can recover the (u0 -> u2) boundary
+    conditions.  The round-7 gamma0=5 science run hit exactly this:
+    fac = 0 silently flattened the WHOLE profile to u2, the
+    old-profile averaging then relaxed the far-upstream inflow toward
+    u2 by half per iteration, and the shock evaporated (STATUS.md
+    round 7).  Callers keep the previous profile instead."""
     avg_dw = u_new[hi - 9:hi + 1].mean()
     denom = u_new[lo] - avg_dw
-    fac = (u0 - u2) / denom if denom != 0 else 0.0
+    if abs(denom) < 1e-3 * abs(u0 - u2):
+        return False
+    fac = (u0 - u2) / denom
     u_new[lo:hi + 1] = fac * (u_new[lo:hi + 1] - avg_dw) + u2
     u_new[lo:hi + 1] = np.where(x_grid_rg[lo:hi + 1] >= 0.0, u2,
                                 u_new[lo:hi + 1])
+    return True
 
 
 def new_velocity_profile(relativistic: bool, n0: float, u0: float,
@@ -179,14 +194,16 @@ def new_velocity_profile(relativistic: bool, n0: float, u0: float,
     if relativistic:
         smooth_profile_inplace(u_px, lo, hi)
         smooth_profile_inplace(u_en, lo, hi)
-        _rescale(u_px, lo, hi, u0, u2, x_grid_rg)
-        _rescale(u_en, lo, hi, u0, u2, x_grid_rg)
+        ok = _rescale(u_px, lo, hi, u0, u2, x_grid_rg)
+        ok &= _rescale(u_en, lo, hi, u0, u2, x_grid_rg)
     else:
-        _rescale(u_px, lo, hi, u0, u2, x_grid_rg)
-        _rescale(u_en, lo, hi, u0, u2, x_grid_rg)
+        ok = _rescale(u_px, lo, hi, u0, u2, x_grid_rg)
+        ok &= _rescale(u_en, lo, hi, u0, u2, x_grid_rg)
         smooth_profile_inplace(u_px, lo, hi)
         smooth_profile_inplace(u_en, lo, hi)
 
+    if not ok:
+        return None
     return ((1.0 - smooth_mom_energy_fac) * u_px
             + smooth_mom_energy_fac * u_en)
 
@@ -274,6 +291,14 @@ def smooth_grid(i_iter: int, i_shock: int, prof: ShockProfile,
         q_esc_px_avg, q_esc_en_avg, x_grid_rg, prof.ux_sk, prof.gamma_sf,
         gamma_grid, prof.btot, prof.theta, cfg.smooth_pressure_flux_psd_fac,
         pressure_tot_mc, f_px_up, f_en_up, cfg.smooth_mom_energy_fac)
+    if ux_new is None:
+        # degenerate flux solve (dead/starved population): no profile
+        # update can honor the (u0 -> u2) boundary conditions, so keep
+        # the previous profile rather than flattening the shock away
+        logging.getLogger(__name__).warning(
+            "smoothing iteration %d: degenerate flux solve (starved "
+            "tallies) — keeping the previous velocity profile", i_iter)
+        return prof, diag, prof_weight_fac
 
     # artificial smoothing (smoothers.jl:306-312)
     if cfg.x_art_start_rg < 0:

@@ -50,6 +50,15 @@ def main() -> None:
                     "~20k fine-scattering steps downstream, so the "
                     "--dsa science run dies by step-cap without this; "
                     "200000 is a good value)")
+    ap.add_argument("--n-pts-mult", type=int, default=1,
+                    help="multiply the config's particle counts "
+                    "(n_pts_inj / n_pts_pcut / n_pts_pcut_hi).  The "
+                    "reference's shipped 100/400/2000 counts starve "
+                    "the gamma0=5 nonlinear fixed point: once "
+                    "smoothing weakens the subshock, 392 lanes "
+                    "cannot populate the first pcut and the tallies "
+                    "die (STATUS.md round 7); they also fill only "
+                    "half a megakernel block.  16-64x fixes both.")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("-o", "--out-dir", default="flagship_baseline_out")
     args = ap.parse_args()
@@ -78,6 +87,10 @@ def main() -> None:
         check_pcuts(cfg.pcuts, cfg.emax, cfg.emax_per_aa, cfg.pmax)
     if args.iters:
         cfg.n_itrs = args.iters
+    if args.n_pts_mult > 1:
+        cfg.n_pts_inj *= args.n_pts_mult
+        cfg.n_pts_pcut *= args.n_pts_mult
+        cfg.n_pts_pcut_hi *= args.n_pts_mult
 
     t0 = time.perf_counter()
     res = run(cfg, p_dtype=jnp.float64 if args.f64 else jnp.float32,
