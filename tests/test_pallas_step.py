@@ -182,8 +182,11 @@ class TestSlidingWindow:
         # per launch and scatter into the full HBM array
         cap = max(128, (full_pad // 2 // 128) * 128)
         monkeypatch.setenv("MCS_MEGA_WINDOW", str(cap))
-        monkeypatch.setenv("MCS_MEGA_BAND", str(min(2048, cap)))
-        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+        # the band is a static-config field (derive_mega_band at
+        # engine build): override it there, not via the env
+        import dataclasses
+        ss_win = dataclasses.replace(ss, mega_band=min(2048, cap))
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss_win,
                                      steps_per_launch=256,
                                      interpret=True)
         f1 = stt.finalize_tallies(t1)
@@ -254,12 +257,15 @@ class TestWindowAnchorStraggler:
                                      interpret=True)
         f1 = stt.finalize_tallies(t1)
         monkeypatch.setenv("MCS_MEGA_WINDOW", str(cap))
-        monkeypatch.setenv("MCS_MEGA_BAND", str(band))
         monkeypatch.setenv("MCS_MEGA_WIN_MARGIN", "2")
         # the dropped thermal bulk dominates |weight|: accept it, the
         # assertion below checks exactly WHAT dropped
         monkeypatch.setenv("MCS_MEGA_OOB_TOL", "0.999")
-        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss,
+        # the band is a static-config field now (derive_mega_band at
+        # engine build), so override it there, not via the env
+        import dataclasses
+        ss_narrow = dataclasses.replace(ss, mega_band=band)
+        s2, t2 = ps.run_segment_mega(state, tal, grids, sc, ss_narrow,
                                      steps_per_launch=256,
                                      interpret=True)
         f2 = stt.finalize_tallies(t2)
