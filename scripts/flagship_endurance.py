@@ -33,6 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 
+# positions/PRP/acctime are float64 by contract (the grid spans 14
+# decades with 1e30 sentinels); this script drives TransportEngine
+# directly, so enable x64 here the way engine.run() would
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser(
     os.environ.get("MCS_CACHE_DIR", "~/.cache/mcs_xla")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
