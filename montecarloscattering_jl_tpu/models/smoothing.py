@@ -192,6 +192,27 @@ def new_velocity_profile(relativistic: bool, n0: float, u0: float,
             u_en[i] = max(newton(fe, u0 * 1.0e-4), 1.0)
 
     if relativistic:
+        # Downstream (x >= 0) is u2 BY CONSTRUCTION — the reference
+        # forces it after rescaling (smoothers.jl:441-443, 449-451);
+        # here the constraint lands BEFORE the monotonicity sweep.
+        # Rationale (round-5 root cause of the gamma0=5 freeze): the
+        # far-downstream flux tallies are structurally starved — the
+        # PRP culls everything but the highest-energy particles long
+        # before the last grid zones, so pxx_flux there falls to
+        # O(1e-2) of F_px and those zones solve to u ~ u0.  Fed into
+        # smooth_profile_inplace, that garbage propagates UPSTREAM
+        # through the monotone sweep (y[i-1] = max(y[i-1], y[i])) and
+        # flattens the entire precursor to u0 (span -> 0, degenerate
+        # rescale, frozen profile — the round-7 failure).  Pinning
+        # x >= 0 to u2 first keeps the sweep inside the precursor,
+        # makes avg_dw exactly u2, and turns the rescale factor into
+        # ~1 — so the precursor depth is what the flux solve actually
+        # supports instead of a noise-amplified stretch, and a
+        # dead-tally iteration relaxes toward the step profile rather
+        # than evaporating the shock.
+        dw = x_grid_rg[lo:hi + 1] >= 0.0
+        u_px[lo:hi + 1] = np.where(dw, u2, u_px[lo:hi + 1])
+        u_en[lo:hi + 1] = np.where(dw, u2, u_en[lo:hi + 1])
         smooth_profile_inplace(u_px, lo, hi)
         smooth_profile_inplace(u_en, lo, hi)
         ok = _rescale(u_px, lo, hi, u0, u2, x_grid_rg)
@@ -283,6 +304,30 @@ def smooth_grid(i_iter: int, i_shock: int, prof: ShockProfile,
 
     if not cfg.do_smoothing:
         return prof, diag, prof_weight_fac
+
+    # diagnostic capture of everything the per-zone flux solve consumes
+    # (MCS_SMOOTH_DUMP=<dir> writes smooth_inputs_iterNN.npz), so solver
+    # conditioning can be developed offline against recorded on-chip
+    # tallies instead of re-running the science workload per experiment
+    import os as _os
+    dump_dir = _os.environ.get("MCS_SMOOTH_DUMP", "")
+    if dump_dir:
+        _os.makedirs(dump_dir, exist_ok=True)
+        np.savez(
+            _os.path.join(dump_dir, f"smooth_inputs_iter{i_iter:02d}.npz"),
+            i_iter=i_iter, i_shock=i_shock, x_grid_rg=x_grid_rg,
+            gamma_grid=gamma_grid, p_psd_par=p_psd_par,
+            p_psd_perp=p_psd_perp, pxx_flux=pxx_flux,
+            energy_flux=energy_flux, q_esc_px_avg=q_esc_px_avg,
+            q_esc_en_avg=q_esc_en_avg, f_px_up=f_px_up,
+            f_en_up=f_en_up, gamma2_rh=gamma2_rh, u2=u2, beta2=beta2,
+            gamma2=gamma2, prof_weight_fac=prof_weight_fac,
+            species_n0=species_n0, species_t0=species_t0, rho0=rho0,
+            ux_sk=prof.ux_sk, gamma_sf=prof.gamma_sf, btot=prof.btot,
+            theta=prof.theta, u0=cfg.u0, beta0=cfg.beta0,
+            gamma0=cfg.gamma0,
+            omega=cfg.smooth_pressure_flux_psd_fac,
+            smooth_mom_energy_fac=cfg.smooth_mom_energy_fac)
 
     # ---- new velocity profile ----------------------------------------------
     relativistic = beta0 >= BETA_REL_FL
