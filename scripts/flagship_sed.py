@@ -59,12 +59,54 @@ def main() -> None:
     print("timers:", {k: round(v, 1)
                       for k, v in res.timers.totals.items()})
     em = res.iterations[-1].emission
+    ok = True
     if em is not None:
         e_mev = np.asarray(em.e_tot) / K.MEV_ERG
         f = np.asarray(em.tot)
         nz = f > 0
         print(f"SED: {nz.sum()} nonzero bins over "
               f"[{e_mev[nz].min():.1e}, {e_mev[nz].max():.1e}] MeV")
+
+        # ---- in-tree physics checks (VERDICT r4 item 4) ----------------
+        setup = res.setup
+        i_el = next(i for i, s in enumerate(cfg.species)
+                    if s.is_electron)
+        fin_e = res.iterations[-1].ion_finals[i_el]
+        fin_p = res.iterations[-1].ion_finals[0]
+        zone = setup.i_shock + 3
+        dnd_e = fin_e.dndp_cr[:, zone, 0]
+        dnd_p = fin_p.dndp_cr[:, zone, 0]
+        pc = setup.bins.mom_centers
+        # electron radiative cutoff: the electron spectrum must END
+        # below the proton spectrum's reach (synchrotron+IC losses cap
+        # electron acceleration; protons are loss-free)
+        p_top_e = pc[np.nonzero(dnd_e > 0)[0]].max()
+        p_top_p = pc[np.nonzero(dnd_p > 0)[0]].max()
+        print(f"electron dN/dp reaches p = {p_top_e/K.MP_C:.3g} mp c; "
+              f"proton reaches {p_top_p/K.MP_C:.3g} mp c "
+              f"(radiative cutoff ratio {p_top_p/p_top_e:.1f}x)")
+        if not p_top_e < 0.5 * p_top_p:
+            print("FAIL: no electron radiative cutoff visible")
+            ok = False
+
+        # synchrotron / IC luminosity ratio ~ U_B / U_CMB (Thomson
+        # regime; same electrons radiate in both channels)
+        lum_s = float(np.asarray(em.synch_shell).sum())
+        lum_ic = float(np.asarray(em.ic_shell).sum())
+        u_b = setup.profile.bmag2 ** 2 / (8.0 * np.pi)
+        z = cfg.redshift
+        # B_CMB0 is defined as the field whose u_B equals the CMB
+        # energy density (constants.jl:10-11); u_CMB ~ (1+z)^4
+        u_cmb = K.B_CMB0 ** 2 / (8.0 * np.pi) * (1.0 + z) ** 4
+        ratio = lum_s / max(lum_ic, 1e-300)
+        expect = u_b / u_cmb
+        print(f"L_synch/L_IC = {ratio:.3g} vs U_B/U_CMB = "
+              f"{expect:.3g} (x{ratio/expect:.2f})")
+        if not (0.2 < ratio / expect < 5.0):
+            print("FAIL: synch/IC ratio inconsistent with U_B/U_CMB")
+            ok = False
+    print("FLAGSHIP SED " + ("PASSED" if ok else "FAILED"))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
