@@ -150,8 +150,11 @@ class TransportEngine:
             if pstep.megakernel_ok(ss, self.p_dtype, self.psd_dtype):
                 return (lambda st, tl, gr, sc, _ss:
                         pstep.run_segment_mega(st, tl, gr, sc, _ss))
+            # run_segment_chunked == run_segment_jit below the chunk
+            # threshold; above it the drain is host-chunked (deep-cap
+            # programs crash the TPU worker, STATUS round 7)
             return (lambda st, tl, gr, sc, _ss:
-                    stp.run_segment_jit(st, tl, gr, sc, _ss, lv))
+                    stp.run_segment_chunked(st, tl, gr, sc, _ss, lv))
         if ss not in self._sharded_seg:
             shard_lanes = self.batch_size // self.mesh.size
             block = pstep._ROWS * pstep.LANE
@@ -514,8 +517,10 @@ class TransportEngine:
                 pstep.check_oob(oob, n_psd_cells, band=ss.mega_band)
             elif self.batch_size <= fused_max and (
                     jax.default_backend() != "tpu"
-                    or n_pcuts <= int(os.environ.get(
-                        "MCS_FUSED_MAX_SEGS", "16"))):
+                    or (n_pcuts <= int(os.environ.get(
+                        "MCS_FUSED_MAX_SEGS", "16"))
+                        and not (0 < stp.xla_steps_per_prog()
+                                 < stp.MAX_HELIX_STEPS))):
                 # The whole-ladder lax.scan program faults the TPU
                 # runtime for LONG ladders: >= 128k lanes x 45 segs
                 # (scripts/repro_fused_128k.py, round 4) and now also

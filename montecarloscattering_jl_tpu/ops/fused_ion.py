@@ -140,6 +140,25 @@ def _get_xla_seg(ss, compact_levels: int):
     return f
 
 
+def _get_xla_fin(ss):
+    """[finish -> split] tail as its own program, for the
+    host-chunked drain path (the drain runs via
+    step.run_segment_chunked outside this program)."""
+    key = ("fin", ss)
+    if key in _XLA_HYBRID_CACHE:
+        return _XLA_HYBRID_CACHE[key]
+
+    def fin(st, es, grids, sc, n_target, key):
+        es = finish_particles(st, es, grids, sc, ss)
+        nsteps = jnp.sum(st.nsteps.astype(jnp.uint64))
+        st, n_new = split_on_device(st, n_target, key)
+        return st, es, n_new, nsteps
+
+    f = jax.jit(fin, donate_argnums=(0, 1))
+    _XLA_HYBRID_CACHE[key] = f
+    return f
+
+
 def run_ion_xla_hybrid(state, tallies, esc, grids, sc, ss,
                        pcuts, pcut_prevs, n_targets, seg_keys,
                        compact_levels: int = 0):
@@ -160,9 +179,17 @@ def run_ion_xla_hybrid(state, tallies, esc, grids, sc, ss,
     Returns (state, tallies, esc, n_new, nsteps)."""
     import numpy as np
 
+    from ..utils.params import MAX_HELIX_STEPS
     from .pallas_step import drive_ladder_async
+    from .step import run_segment_chunked, xla_steps_per_prog
 
-    seg_fn = _get_xla_seg(ss, compact_levels)
+    # deep helix caps: host-chunked drains (no single device program
+    # may run for minutes — TPU worker crash, STATUS round 7)
+    chunked = 0 < xla_steps_per_prog() < MAX_HELIX_STEPS
+    if chunked:
+        fin_fn = _get_xla_fin(ss)
+    else:
+        seg_fn = _get_xla_seg(ss, compact_levels)
     n_seg = len(pcuts)
     pcuts_h = np.asarray(pcuts, np.float64)
     prevs_h = np.asarray(pcut_prevs, np.float64)
@@ -174,9 +201,16 @@ def run_ion_xla_hybrid(state, tallies, esc, grids, sc, ss,
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
             pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
-        state, tallies, esc, n_new, nsteps = seg_fn(
-            state, tallies, esc, grids, sci,
-            jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
+        if chunked:
+            state, tallies = run_segment_chunked(
+                state, tallies, grids, sci, ss, compact_levels)
+            state, esc, n_new, nsteps = fin_fn(
+                state, esc, grids, sci,
+                jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
+        else:
+            state, tallies, esc, n_new, nsteps = seg_fn(
+                state, tallies, esc, grids, sci,
+                jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
         return n_new, nsteps
 
     n_new_out, nsteps_out = drive_ladder_async(dispatch, n_seg)

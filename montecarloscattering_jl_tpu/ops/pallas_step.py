@@ -68,6 +68,7 @@ Reference parity anchors are the same as ops/step.py
 
 from __future__ import annotations
 
+import collections
 import functools
 import logging
 import math
@@ -111,6 +112,7 @@ A_PX_ESC, A_EN_ESC, A_SUM_P, A_SUM_KE = 4, 5, 6, 7
 A_ACTIVE, A_OVERFLOW = 8, 9
 A_POOL = 10            # ion->electron pool_diff [nb+1] difference form
 A_OOBW, A_WTOT = 11, 12  # dropped vs total |psd weight| (window tol)
+A_FINE = 13            # steps contracted on the fine per-chunk band
 N_AUX = 16
 
 # scf layout: [0:18] segment scalars, [18:22] downstream-zone tail,
@@ -222,7 +224,7 @@ def _dot_ss(a, b):
 
 def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
                  et_ref, fs_out, is_out, psd_out, aux_out, tc_out,
-                 psd_scr, *, band, n_cells_pad, n_steps, cfg):
+                 psd_scr, *, band, n_cells_pad, n_steps, cfg, fine=0):
     """One grid program: advance one lane block `n_steps` steps.
 
     cfg is a dict of static flags/values (see megakernel_plan)."""
@@ -244,12 +246,12 @@ def _mega_kernel(scf_ref, act_ref, fs_ref, is_ref, xg_ref, zs_ref,
         _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
                    fs_out, is_out, psd_out, aux_out, tc_out, psd_scr,
                    band=band, n_cells_pad=n_cells_pad,
-                   n_steps=n_steps, cfg=cfg, prog=i)
+                   n_steps=n_steps, cfg=cfg, prog=i, fine=fine)
 
 
 def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
                fs_out, is_out, psd_out, aux_out, tc_out, psd_scr, *,
-               band, n_cells_pad, n_steps, cfg, prog):
+               band, n_cells_pad, n_steps, cfg, prog, fine=0):
     R = _ROWS
     BL = R * LANE
     c = np.float32(C_CGS)
@@ -636,6 +638,37 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
         blo_c = jnp.clip(blo, jnp.int32(0), jnp.int32(n_cells_pad - band))
         oob = crossed & ((cell < blo_c)
                          | (cell >= blo_c + jnp.int32(band)))
+
+        # Two-level band encoding (fine > 0): each 1024-lane chunk
+        # gets its OWN anchor, and when every chunk's in-window spread
+        # fits the `fine` band this step, the contraction below runs
+        # [fine, K] per chunk instead of [band, K] — the partition
+        # sort keeps blocks momentum-coherent, so per-chunk spreads
+        # are far narrower than the block's.  Steps where any chunk
+        # overflows `fine` (population freshly mixed, relativistic
+        # angular fan) fall back to the block-level band — so this is
+        # a pure fast path, never a new drop source.
+        n_ch_a = BL // (8 * LANE)
+        use_fine = 0 < fine < band
+        if use_fine:
+            cellf4 = cellf.reshape(n_ch_a, 8 * LANE)
+            in4 = in_win.reshape(n_ch_a, 8 * LANE)
+            blo4 = jnp.min(jnp.where(in4, cellf4, np.float32(1e9)),
+                           axis=1, keepdims=True)
+            bhi4 = jnp.max(jnp.where(in4, cellf4, np.float32(-1.0)),
+                           axis=1, keepdims=True)
+            blo4_c = jnp.clip(blo4.astype(jnp.int32), jnp.int32(0),
+                              jnp.int32(n_cells_pad - fine))
+            fine_ok = jnp.all(bhi4.astype(jnp.int32)
+                              < blo4_c + jnp.int32(fine))
+            # cell < 0 is < blo4_c and cell >= n_cells_pad is
+            # >= blo4_c + fine (blo4_c <= n_cells_pad - fine), so the
+            # two comparisons also cover the out-of-window cases
+            cell4i = cellf4.astype(jnp.int32)
+            oob_f = (crossed.reshape(n_ch_a, 8 * LANE)
+                     & ((cell4i < blo4_c)
+                        | (cell4i >= blo4_c + jnp.int32(fine))))
+            oob = jnp.where(fine_ok, oob_f.reshape(R, LANE), oob)
         aux_out[A_OVERFLOW:A_OVERFLOW + 1, :] += jnp.sum(
             oob.astype(jnp.float32).reshape(R, LANE), axis=0,
             keepdims=True)
@@ -691,20 +724,48 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
             # in exactly one tile and still sums chunks in order), so
             # band <= 2048 configs are bit-identical to the untiled
             # code.
-            for t0 in range(0, band, _TILE):
-                tw = min(_TILE, band - t0)
-                c_iota = (lax.broadcasted_iota(jnp.int32, (tw, K), 0)
-                          + (blo_c + jnp.int32(t0)))
-                for ch in range(n_ch):
-                    cr = cell4[ch:ch + 1, :]
-                    a = (cr == c_iota).astype(jnp.bfloat16)  # [tw, K]
-                    d = _dot_ll(a, bs[ch])                   # [tw, ZPAD]
-                    if ch == 0:
-                        psd_scr[pl.ds(0, tw), :] = d
-                    else:
-                        psd_scr[pl.ds(0, tw), :] += d
-                psd_out[pl.ds(blo_c + jnp.int32(t0), tw), :] += \
-                    psd_scr[pl.ds(0, tw), :]
+            def _coarse_contract():
+                for t0 in range(0, band, _TILE):
+                    tw = min(_TILE, band - t0)
+                    c_iota = (lax.broadcasted_iota(jnp.int32, (tw, K),
+                                                   0)
+                              + (blo_c + jnp.int32(t0)))
+                    for ch in range(n_ch):
+                        cr = cell4[ch:ch + 1, :]
+                        a = (cr == c_iota).astype(jnp.bfloat16)
+                        d = _dot_ll(a, bs[ch])               # [tw, ZPAD]
+                        if ch == 0:
+                            psd_scr[pl.ds(0, tw), :] = d
+                        else:
+                            psd_scr[pl.ds(0, tw), :] += d
+                    psd_out[pl.ds(blo_c + jnp.int32(t0), tw), :] += \
+                        psd_scr[pl.ds(0, tw), :]
+
+            if use_fine:
+                # fine path: [fine, K] one-hot per chunk at its own
+                # anchor — band/fine x fewer MACs than the block band
+                # +1 per fine step after the lane-sum (house style:
+                # full-lane rows, summed by the consumer)
+                aux_out[A_FINE:A_FINE + 1, :] += jnp.where(
+                    fine_ok, np.float32(1.0 / LANE),
+                    np.float32(0.0)) * jnp.ones((1, LANE), jnp.float32)
+
+                @pl.when(fine_ok)
+                def _():
+                    for ch in range(n_ch):
+                        base = blo4_c[ch, 0]
+                        c_iota = (lax.broadcasted_iota(
+                            jnp.int32, (fine, K), 0) + base)
+                        a = (cell4[ch:ch + 1, :]
+                             == c_iota).astype(jnp.bfloat16)
+                        d = _dot_ll(a, bs[ch])               # [fine, ZPAD]
+                        psd_out[pl.ds(base, fine), :] += d
+
+                @pl.when(jnp.logical_not(fine_ok))
+                def _():
+                    _coarse_contract()
+            else:
+                _coarse_contract()
 
         # escaping flux at the upstream FEB
         esc_cross = (moving & injf & (xhi < feb_up)
@@ -1410,6 +1471,15 @@ def _partition_active(fs, is_, orig):
 
 _LAUNCH_CACHE = {}
 
+# drive entry points for one static megakernel config: `launch`
+# (jitted whole drain), `drive` (same, traceable into larger
+# programs), and the host-chunked triple `init_acc` / `chunk` /
+# `unsort` (see the chunking note inside _get_launch)
+_LaunchHandles = collections.namedtuple(
+    "_LaunchHandles",
+    ["launch", "drive", "chunk", "init_acc", "unsort", "unsort_traced",
+     "max_launches", "use_chunked"])
+
 
 def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
                 interpret=False):
@@ -1437,9 +1507,16 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     # to one schedule (the SR dither is slot-keyed).
     resort_every = int(os.environ.get("MCS_MEGA_RESORT_EVERY",
                                       "4" if windowed else "0"))
+    # two-level fine band (per-1024-lane-chunk anchors): 0 disables.
+    # 8-row aligned; capped below the block band (no win otherwise)
+    fine = int(os.environ.get("MCS_MEGA_FINE_BAND", "512"))
+    fine = min(max(fine, 0) // 8 * 8, _TILE)
+    if fine >= band:
+        fine = 0
     key = (cfg_key, band, n_cells_pad, acc_rows, n_blocks, n_steps,
            margin, os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
-           resort_every, interpret)
+           resort_every, interpret, fine,
+           os.environ.get("MCS_MEGA_LAUNCHES_PER_PROG", "48"))
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
     rt = n_blocks * _ROWS
@@ -1491,7 +1568,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     def make_launch(n_steps_l):
         kern = functools.partial(_mega_kernel, band=band,
                                  n_cells_pad=acc_rows,
-                                 n_steps=n_steps_l, cfg=cfg)
+                                 n_steps=n_steps_l, cfg=cfg,
+                                 fine=fine)
         return functools.partial(_launch_impl, kern)
 
     def _launch_impl(kern, scf, fs, is_, xg, zs, et):
@@ -1556,25 +1634,29 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     tail_below = max((rt * LANE) // 8, _ROWS * LANE)
 
     max_launches = MAX_HELIX_STEPS // n_steps + 2
+    # Host-chunked drains: one device program EXECUTING for many
+    # minutes kills the TPU worker (round-7 finding: the 16x-lane
+    # 200k-step science ladder and the 200k XLA while_loop both died
+    # with UNAVAILABLE "kernel fault"), so deep helix caps cannot ride
+    # a single while_loop drive.  When the launch bound exceeds
+    # MCS_MEGA_LAUNCHES_PER_PROG, the drive's carry (including the
+    # accumulators and the partition bookkeeping) crosses back to the
+    # host every `chunk_launches` launches and the drain is
+    # RE-DISPATCHED until empty.  The launch sequence — cond order,
+    # partition schedule, accumulation order — is identical to the
+    # monolithic drive, and the in-kernel RNG counter is the per-lane
+    # step count, so chunked == monolithic BITWISE (state and tallies;
+    # pinned by tests/test_chunked_drain.py).  Default 48 keeps the
+    # 10k-cap bench/flagship drains (41 launches) single-program.
+    chunk_launches = int(os.environ.get("MCS_MEGA_LAUNCHES_PER_PROG",
+                                        "48"))
+    use_chunked = max_launches > chunk_launches
 
-    def drive(scf, fs, is_, xg, zs, et, orig):
-        """The whole drain in ONE device program: the per-dispatch
-        round trip through the remote device tunnel is ~25 ms, which
-        dominated a python-level launch loop."""
-        psd0 = jnp.zeros((n_cells_pad, ZPAD), jnp.float32)
-        aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
-        tc0 = jnp.zeros((tc_pad, ZPAD), jnp.float32)
-        k0 = jnp.int32(0)
-        # exact live count at entry so a weakly-populated state (e.g.
-        # after a thin pcut split) rides tail launches immediately
-        n0 = jnp.sum((is_[I_STATUS] == ACTIVE).astype(jnp.int32),
-                     dtype=jnp.int32)
-        packed0 = jnp.int32(n_blocks * _ROWS * LANE)
+    def cond_full(c):
+        _, _, _, _, _, _, k, n_act, _ = c
+        return (n_act > 0) & (k < max_launches)
 
-        def cond(c):
-            _, _, _, _, _, _, k, n_act, _ = c
-            return (n_act > 0) & (k < max_launches)
-
+    def make_body(scf, xg, zs, et):
         def body(c):
             fs, is_, psd, aux, tc, orig, k, n_prev, packed = c
             if windowed:
@@ -1615,23 +1697,73 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
             return (fs, is_, psd,
                     aux + aux_d.astype(jnp.float64), tc + tc_d, orig,
                     k + 1, n_act, packed)
+        return body
 
-        fs, is_, psd, aux, tc, orig, k, _, _ = lax.while_loop(
-            cond, body, (fs, is_, psd0, aux0, tc0, orig, k0, n0,
-                         packed0))
-        # restore original lane order by sorting on the carried slot
-        # index (gathers are serial on TPU; sort is vectorized)
+    def init_acc(fs, is_):
+        """Fresh drive accumulators + bookkeeping: (psd, aux, tc, k,
+        n_act, packed).  Exact live count at entry so a
+        weakly-populated state (e.g. after a thin pcut split) rides
+        tail launches immediately."""
+        psd0 = jnp.zeros((n_cells_pad, ZPAD), jnp.float32)
+        aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
+        tc0 = jnp.zeros((tc_pad, ZPAD), jnp.float32)
+        n0 = jnp.sum((is_[I_STATUS] == ACTIVE).astype(jnp.int32),
+                     dtype=jnp.int32)
+        return (psd0, aux0, tc0, jnp.int32(0), n0,
+                jnp.int32(n_blocks * _ROWS * LANE))
+
+    def unsort(fs, is_, orig):
+        """Restore original lane order by sorting on the carried slot
+        index (gathers are serial on TPU; sort is vectorized)."""
         ops = ([orig]
                + [fs[j].reshape(-1) for j in range(_NF)]
                + [is_[j].reshape(-1) for j in range(_NI)])
         out = lax.sort(ops, num_keys=1, is_stable=True)
-        fs = jnp.stack(out[1:1 + _NF]).reshape(fs.shape)
-        is_ = jnp.stack(out[1 + _NF:]).reshape(is_.shape)
+        return (jnp.stack(out[1:1 + _NF]).reshape(fs.shape),
+                jnp.stack(out[1 + _NF:]).reshape(is_.shape))
+
+    def drive(scf, fs, is_, xg, zs, et, orig):
+        """The whole drain in ONE device program: the per-dispatch
+        round trip through the remote device tunnel is ~25 ms, which
+        dominated a python-level launch loop."""
+        psd0, aux0, tc0, k0, n0, packed0 = init_acc(fs, is_)
+        fs, is_, psd, aux, tc, orig, k, _, _ = lax.while_loop(
+            cond_full, make_body(scf, xg, zs, et),
+            (fs, is_, psd0, aux0, tc0, orig, k0, n0, packed0))
+        fs, is_ = unsort(fs, is_, orig)
         return fs, is_, psd, aux, tc, k
 
-    f = jax.jit(drive, donate_argnums=(1, 2))
-    _LAUNCH_CACHE[key] = (f, drive)
-    return f, drive
+    def drive_chunk(scf, fs, is_, xg, zs, et, orig, acc):
+        """At most `chunk_launches` more launches of the SAME launch
+        sequence as `drive`; the caller re-dispatches while acc's
+        n_act > 0 and k < max_launches, then calls `unsort` once.
+        The lane order stays partitioned between dispatches (unlike
+        drive, which unsorts at its end) — the partition schedule is
+        carried in (k, n_act, packed), so re-entry continues it
+        exactly."""
+        psd, aux, tc, k, n_act, packed = acc
+        k_end = k + jnp.int32(chunk_launches)
+
+        def cond(c):
+            _, _, _, _, _, _, kk, na, _ = c
+            return (na > 0) & (kk < max_launches) & (kk < k_end)
+
+        fs, is_, psd, aux, tc, orig, k, n_act, packed = lax.while_loop(
+            cond, make_body(scf, xg, zs, et),
+            (fs, is_, psd, aux, tc, orig, k, n_act, packed))
+        return fs, is_, orig, (psd, aux, tc, k, n_act, packed)
+
+    lh = _LaunchHandles(
+        launch=jax.jit(drive, donate_argnums=(1, 2)),
+        drive=drive,
+        chunk=jax.jit(drive_chunk, donate_argnums=(1, 2, 6, 7)),
+        init_acc=jax.jit(init_acc),
+        unsort=jax.jit(unsort, donate_argnums=(0, 1)),
+        unsort_traced=unsort,
+        max_launches=max_launches,
+        use_chunked=use_chunked)
+    _LAUNCH_CACHE[key] = lh
+    return lh
 
 
 def run_segment_mega(state, tallies, grids, sc, ss,
@@ -1657,16 +1789,29 @@ def run_segment_mega(state, tallies, grids, sc, ss,
     nzc = tallies.psd_diff.shape[1]
     band, _acc, n_cells_pad = _tally_geom(n_cells, ss.mega_band)
 
-    launch, _ = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
-                            n_steps, interpret=interpret)
+    lh = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                     n_steps, interpret=interpret)
 
     # all prep stays on device: a host float()/np.asarray of a device
     # value costs a ~25 ms tunnel round trip (profiled)
     scf, xg, zs, et = _mega_scf(sc, grids, ss, seed)
     orig = jnp.arange(rt * LANE, dtype=jnp.int32)
 
-    fs, is_, psd_acc, aux_acc, tc_acc, _k = launch(scf, fs, is_, xg,
-                                                   zs, et, orig)
+    if lh.use_chunked:
+        # host-chunked drain (deep helix caps): re-dispatch bounded
+        # programs until empty — bitwise identical to the monolithic
+        # drive (see _get_launch)
+        acc = lh.init_acc(fs, is_)
+        while True:
+            fs, is_, orig, acc = lh.chunk(scf, fs, is_, xg, zs, et,
+                                          orig, acc)
+            if int(acc[4]) == 0 or int(acc[3]) >= lh.max_launches:
+                break
+        fs, is_ = lh.unsort(fs, is_, orig)
+        psd_acc, aux_acc, tc_acc = acc[0], acc[1], acc[2]
+    else:
+        fs, is_, psd_acc, aux_acc, tc_acc, _k = lh.launch(
+            scf, fs, is_, xg, zs, et, orig)
     check_oob(np.asarray(jnp.stack([
         jnp.sum(aux_acc[A_OVERFLOW]), jnp.sum(aux_acc[A_OOBW]),
         jnp.sum(aux_acc[A_WTOT])])), n_cells, band=band)
@@ -1730,8 +1875,8 @@ def mega_segment_traced(st, tl, x_grid, xg, zs, et, tail, tcv, seed_f,
     b = st.weight.shape[0]
     rt = fs.shape[1]
     n_blocks = rt // _ROWS
-    _, drive = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
-                           n_steps, interpret=interpret)
+    drive = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                        n_steps, interpret=interpret).drive
     scf = jnp.concatenate([_scvec(sc), tail,
                            jnp.stack([seed_f,
                                       jnp.float32(0.0)]),
@@ -1803,6 +1948,83 @@ def _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks, n_steps,
     f = jax.jit(seg, donate_argnums=(0, 1, 2))
     _HYBRID_CACHE[key] = f
     return f
+
+
+_HYBRID_CHUNK_CACHE = {}
+
+
+def _get_hybrid_seg_chunked(cfg_key, cfg, ss, band, n_cells_pad,
+                            n_blocks, n_steps, interpret=False):
+    """The hybrid pcut segment split into host-redispatchable pieces
+    for deep helix caps (host-chunked drains — see the note in
+    _get_launch): `start` packs the state and runs the first bounded
+    chunk, `cont` continues the drain, `fin` restores lane order and
+    runs the [tally-fold -> finish -> split] tail.  The concatenation
+    start; cont*; fin computes exactly what _get_hybrid_seg's fused
+    program computes (bitwise: same launch sequence, same accumulation
+    order), but no single device program runs longer than
+    MCS_MEGA_LAUNCHES_PER_PROG launches."""
+    key = (cfg_key, band, n_cells_pad, _win_cap_rows(), _win_margin(),
+           os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
+           os.environ.get("MCS_MEGA_LAUNCHES_PER_PROG", "48"),
+           n_blocks, n_steps, interpret)
+    if key in _HYBRID_CHUNK_CACHE:
+        return _HYBRID_CHUNK_CACHE[key]
+
+    from .finish import finish_particles
+    from .fused_ion import split_on_device
+
+    lh = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                     n_steps, interpret=interpret)
+
+    def start(st, xg, zs, et, tail, tcv, seed_f, sc):
+        scf = jnp.concatenate([_scvec(sc), tail,
+                               jnp.stack([seed_f, jnp.float32(0.0)]),
+                               tcv.astype(jnp.float32)])
+        fs, is_ = _pack_core(st)
+        orig = jnp.arange(fs.shape[1] * LANE, dtype=jnp.int32)
+        acc = lh.init_acc(fs, is_)
+        fs, is_, orig, acc = lh.chunk(scf, fs, is_, xg, zs, et, orig,
+                                      acc)
+        return scf, fs, is_, orig, acc
+
+    def fin(st, tl, es, grids, sc, fs, is_, orig, acc, n_target, key):
+        fs, is_ = lh.unsort_traced(fs, is_, orig)
+        b = st.weight.shape[0]
+        st2 = unpack_state(fs, is_, b, st)
+        x_grid = jnp.asarray(grids.x_grid)
+        ig = (jnp.searchsorted(x_grid, st2.x, side="right") - 1)
+        st2 = st2._replace(
+            igrid=jnp.clip(ig, 0, ss.nb - 2).astype(jnp.int32))
+
+        psd_acc, aux_acc, tc_acc = acc[0], acc[1], acc[2]
+        n_cells = tl.psd_diff.shape[0]
+        nzc = tl.psd_diff.shape[1]
+        aux64 = aux_acc.astype(jnp.float64)
+        tl = tl._replace(
+            psd_diff=tl.psd_diff
+            + psd_acc[:n_cells, :nzc].astype(tl.psd_diff.dtype),
+            flux_diff=tl.flux_diff + aux64[A_FLUX0:A_FLUX0 + 4, :nzc],
+            px_esc_up=tl.px_esc_up + jnp.sum(aux64[A_PX_ESC]),
+            en_esc_up=tl.en_esc_up + jnp.sum(aux64[A_EN_ESC]),
+            sum_p_dw=tl.sum_p_dw + jnp.sum(aux64[A_SUM_P]),
+            sum_ke_dw=tl.sum_ke_dw + jnp.sum(aux64[A_SUM_KE]),
+        )
+        tl = _fold_tc_pool(tl, tc_acc, aux64, ss)
+        oob = jnp.stack([jnp.sum(aux64[A_OVERFLOW]),
+                         jnp.sum(aux64[A_OOBW]),
+                         jnp.sum(aux64[A_WTOT])])
+        es = finish_particles(st2, es, grids, sc, ss)
+        nsteps = jnp.sum(st2.nsteps.astype(jnp.uint64))
+        st3, n_new = split_on_device(st2, n_target, key)
+        return st3, tl, es, n_new, nsteps, oob
+
+    handles = (jax.jit(start),
+               lh.chunk,
+               jax.jit(fin, donate_argnums=(0, 1, 2, 5, 6, 7, 8)),
+               lh.max_launches)
+    _HYBRID_CHUNK_CACHE[key] = handles
+    return handles
 
 
 def drive_ladder_async(dispatch, n_seg: int, check=None, capture=None,
@@ -1909,8 +2131,19 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
     b = state.weight.shape[0]
     n_blocks = (-(-b // LANE) + _ROWS - 1) // _ROWS
 
-    seg_fn = _get_hybrid_seg(cfg_key, ss, band, n_cells_pad, n_blocks,
-                             n_steps, interpret=interpret)
+    # deep helix caps run host-chunked (see _get_launch): no single
+    # device program may execute for minutes, or the TPU worker dies
+    chunked = _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks,
+                          n_steps, interpret=interpret).use_chunked
+    if chunked:
+        seg_start, seg_cont, seg_fin, max_l = _get_hybrid_seg_chunked(
+            cfg_key, cfg, ss, band, n_cells_pad, n_blocks, n_steps,
+            interpret=interpret)
+        tcv = jnp.asarray(grids.tcuts).astype(jnp.float32)
+    else:
+        seg_fn = _get_hybrid_seg(cfg_key, ss, band, n_cells_pad,
+                                 n_blocks, n_steps,
+                                 interpret=interpret)
     xg, zs, et, tail = _mega_prep(jnp.asarray(grids.x_grid),
                                   jnp.asarray(grids.ux),
                                   jnp.asarray(grids.gamma_sf),
@@ -1935,10 +2168,23 @@ def run_ion_mega_hybrid(state, tallies, esc, grids, sc, ss,
         sci = sc._replace(
             pcut=jnp.asarray(pcuts_h[i], p_dtype),
             pcut_prev=jnp.asarray(prevs_h[i], p_dtype))
-        state, tallies, esc, n_new, nsteps, oob = seg_fn(
-            state, tallies, esc, grids, sci, xg, zs, et, tail,
-            jnp.float32(i + 1), jnp.asarray(targets_h[i], jnp.int32),
-            seg_keys[i])
+        if chunked:
+            # [start; cont*; fin]: the per-chunk n_act fetch is a host
+            # sync, which is fine here — chunk-engaged segments run
+            # seconds per chunk, and drained segments exit after one
+            scf, fs, is_, origv, acc = seg_start(
+                state, xg, zs, et, tail, tcv, jnp.float32(i + 1), sci)
+            while int(acc[4]) > 0 and int(acc[3]) < max_l:
+                fs, is_, origv, acc = seg_cont(scf, fs, is_, xg, zs,
+                                               et, origv, acc)
+            state, tallies, esc, n_new, nsteps, oob = seg_fin(
+                state, tallies, esc, grids, sci, fs, is_, origv, acc,
+                jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
+        else:
+            state, tallies, esc, n_new, nsteps, oob = seg_fn(
+                state, tallies, esc, grids, sci, xg, zs, et, tail,
+                jnp.float32(i + 1),
+                jnp.asarray(targets_h[i], jnp.int32), seg_keys[i])
         oob_acc = oob_acc + oob
         if oob_log is not None:
             oob_log.append(oob)

@@ -723,13 +723,23 @@ def _flush_records(t: Tallies, ss: StepStatic) -> Tallies:
 def run_segment(state: ParticleState, tallies: Tallies,
                 grids: SegmentGrids, sc: SegmentScalars,
                 ss: StepStatic,
-                compact_levels: int = 0
+                compact_levels: int = 0,
+                horizon=None
                 ) -> tuple[ParticleState, Tallies]:
     """Advance all lanes until none are ACTIVE (one pcut segment).
 
     The helix cap inside `helix_step` bounds the loop at
     MAX_HELIX_STEPS, mirroring particle_loop.jl:162-165, so the
     while_loop always terminates.
+
+    `horizon` (traced i32 scalar, optional) additionally stops the
+    loop once every still-active lane has taken `horizon` steps this
+    segment.  Because every ACTIVE lane steps on every while trip,
+    all active lanes share one nsteps value, so this bounds the TRIP
+    count of the device program — the host-chunked drain for deep
+    helix caps (a single device program executing for minutes kills
+    the TPU worker; see ops/pallas_step._get_launch).  Use
+    run_segment_chunked for the host loop.
 
     compact_levels > 0 turns on live-lane compaction: lanes die at
     wildly different step counts (most thermal lanes escape within
@@ -748,7 +758,10 @@ def run_segment(state: ParticleState, tallies: Tallies,
 
     def cond_any(carry):
         s, _ = carry
-        return jnp.any(s.status == ACTIVE)
+        a = s.status == ACTIVE
+        if horizon is not None:
+            a &= s.nsteps < horizon
+        return jnp.any(a)
 
     def body(carry):
         s, t = carry
@@ -795,7 +808,9 @@ def run_segment(state: ParticleState, tallies: Tallies,
             def cond(carry, _nxt=nxt):
                 s, _ = carry
                 a = s.status == ACTIVE
-                return jnp.any(a) & (jnp.sum(a) > _nxt)
+                live = a if horizon is None else a & (s.nsteps
+                                                      < horizon)
+                return jnp.any(live) & (jnp.sum(a) > _nxt)
 
         win_st, win_tal = lax.while_loop(cond, body, (win_st, win_tal))
         win_tal = _flush_records(win_tal, ss)
@@ -836,6 +851,51 @@ def run_segment(state: ParticleState, tallies: Tallies,
 
 run_segment_jit = jax.jit(run_segment, static_argnums=(4, 5),
                           donate_argnums=(0, 1))
+
+# bounded variant: the horizon rides as a TRACED scalar so raising it
+# between host dispatches does not recompile
+run_segment_hjit = jax.jit(run_segment, static_argnums=(4, 5),
+                           donate_argnums=(0, 1))
+
+
+def xla_steps_per_prog() -> int:
+    """Per-program trip budget for the XLA engine's host-chunked
+    drains (0 disables chunking).  Engaged when MAX_HELIX_STEPS
+    exceeds it: deep-cap while_loops must not run as one device
+    program (TPU worker crash, STATUS round 7)."""
+    return int(os.environ.get("MCS_XLA_STEPS_PER_PROG", "25000"))
+
+
+def run_segment_chunked(state: ParticleState, tallies: Tallies,
+                        grids: SegmentGrids, sc: SegmentScalars,
+                        ss: StepStatic, compact_levels: int = 0,
+                        budget: int = 0
+                        ) -> tuple[ParticleState, Tallies]:
+    """Host-chunked drain for the XLA engine: re-dispatch
+    run_segment with a rising step horizon until no lane is ACTIVE,
+    so no single device program exceeds `budget` while-trips.
+
+    Per-lane trajectories are bitwise identical to the monolithic
+    run_segment (the RNG counter is the per-lane step count).  Tally
+    sums can differ at float-rounding order across chunk boundaries:
+    the record buffer flushes its partial chunk at each program exit,
+    and the compaction ladder restarts from the full batch on
+    re-entry (tests/test_chunked_drain.py pins compact_levels=0
+    tallies to float tolerance and the state exactly)."""
+    budget = budget or xla_steps_per_prog()
+    if budget <= 0 or MAX_HELIX_STEPS <= budget:
+        return run_segment_jit(state, tallies, grids, sc, ss,
+                               compact_levels)
+    horizon = budget
+    while True:
+        state, tallies = run_segment_hjit(
+            state, tallies, grids, sc, ss, compact_levels,
+            jnp.int32(horizon))
+        if horizon >= MAX_HELIX_STEPS or not bool(
+                jnp.any(state.status == ACTIVE)):
+            break
+        horizon += budget
+    return state, tallies
 
 
 def _downstream_logic(moving, status, reason, x_old, x_new, prp_x,

@@ -52,3 +52,27 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "tpu" in item.keywords:
                 item.add_marker(skip)
+
+
+@pytest.fixture()
+def low_cap(monkeypatch):
+    """Cap the helix at 1024 steps for interpret-mode drain tests (the
+    10k default makes a full chunked-vs-monolithic comparison take
+    ~1 h of interpreted launches).  The cap is a trace-time constant,
+    so every launch/segment cache and jit trace is cleared around the
+    patch."""
+    from montecarloscattering_jl_tpu.ops import pallas_step as ps
+    from montecarloscattering_jl_tpu.ops import step as stp
+
+    def clear():
+        ps._LAUNCH_CACHE.clear()
+        ps._HYBRID_CACHE.clear()
+        ps._HYBRID_CHUNK_CACHE.clear()
+        stp.run_segment_jit.clear_cache()
+        stp.run_segment_hjit.clear_cache()
+
+    monkeypatch.setattr(ps, "MAX_HELIX_STEPS", 1024)
+    monkeypatch.setattr(stp, "MAX_HELIX_STEPS", 1024)
+    clear()
+    yield
+    clear()
