@@ -154,6 +154,35 @@ def merge_total(pion_shell, synch_shell, ic_shell) -> tuple[np.ndarray,
     return e_tot, tot
 
 
+def _f64_host(fn):
+    """Run `fn`'s jitted kernels on the in-process CPU device when the
+    default backend cannot represent full-range f64.
+
+    TPU f64 is float32-PAIR emulation: the exponent range is f32's,
+    so the CGS magnitudes of the emission pass (zone counts ~ 1e118,
+    beam areas ~ 1e56 cm^2) become inf on IDENTITY transfer alone
+    (probed on the v5e backend: jnp.float64(1e40) -> inf, and the
+    round-8 on-chip SED came out empty through exactly this).  The
+    kernels are the same jitted XLA code either way — the whole SED
+    is seconds of compute — just with real IEEE f64 on the host
+    device.  A TPU-resident emission path would need log-space or
+    rescaled-unit arithmetic end to end."""
+    import contextlib
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*a, **k):
+        import jax as _jax
+        if _jax.default_backend() != "cpu":
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return fn(*a, **k)
+    return wrap
+
+
+@_f64_host
 def photon_calcs(setup, prof, ion_finals, i_iter: int = 0
                  ) -> EmissionResult:
     """Full emission pass for one iteration (photon_calcs.jl:27-161)."""

@@ -64,8 +64,12 @@ def main() -> None:
         e_mev = np.asarray(em.e_tot) / K.MEV_ERG
         f = np.asarray(em.tot)
         nz = f > 0
-        print(f"SED: {nz.sum()} nonzero bins over "
-              f"[{e_mev[nz].min():.1e}, {e_mev[nz].max():.1e}] MeV")
+        if nz.any():
+            print(f"SED: {nz.sum()} nonzero bins over "
+                  f"[{e_mev[nz].min():.1e}, {e_mev[nz].max():.1e}] MeV")
+        else:
+            print("SED: EMPTY (no nonzero bins)")
+            ok = False
 
         # ---- in-tree physics checks (VERDICT r4 item 4) ----------------
         setup = res.setup
