@@ -651,30 +651,42 @@ def _mega_body(scf_ref, fs_ref, is_ref, xg_ref, zs_ref, et_ref,
         n_ch_a = BL // (8 * LANE)
         use_fine = 0 < fine < band
         if use_fine:
+            # all reshapes in f32/i32: Mosaic cannot reshape i1
+            # vectors ("tpu.reshape (32x128xi1) -> (4x1024xi1)" fails
+            # to lower), and a bool jnp.all reduction trips the
+            # scalar-squeeze lowering — so masks ride as f32 and the
+            # predicate is an f32 max-compare
             cellf4 = cellf.reshape(n_ch_a, 8 * LANE)
-            in4 = in_win.reshape(n_ch_a, 8 * LANE)
+            in4 = (in_win.astype(jnp.float32)
+                   .reshape(n_ch_a, 8 * LANE)) > 0.0
             blo4 = jnp.min(jnp.where(in4, cellf4, np.float32(1e9)),
                            axis=1, keepdims=True)
             bhi4 = jnp.max(jnp.where(in4, cellf4, np.float32(-1.0)),
                            axis=1, keepdims=True)
             blo4_c = jnp.clip(blo4.astype(jnp.int32), jnp.int32(0),
                               jnp.int32(n_cells_pad - fine))
-            fine_ok = jnp.all(bhi4.astype(jnp.int32)
-                              < blo4_c + jnp.int32(fine))
+            blo4f = blo4_c.astype(jnp.float32)
+            worst = jnp.max(bhi4 - blo4f)
+            fine_ok = worst < np.float32(fine)
             # cell < 0 is < blo4_c and cell >= n_cells_pad is
             # >= blo4_c + fine (blo4_c <= n_cells_pad - fine), so the
             # two comparisons also cover the out-of-window cases
-            cell4i = cellf4.astype(jnp.int32)
-            oob_f = (crossed.reshape(n_ch_a, 8 * LANE)
-                     & ((cell4i < blo4_c)
-                        | (cell4i >= blo4_c + jnp.int32(fine))))
-            oob = jnp.where(fine_ok, oob_f.reshape(R, LANE), oob)
+            oob_f4 = jnp.where(
+                (cellf4 < blo4f)
+                | (cellf4 >= blo4f + np.float32(fine)),
+                crossed.astype(jnp.float32).reshape(n_ch_a, 8 * LANE),
+                np.float32(0.0))
+            # select between f32 masks (Mosaic cannot arith.select
+            # on i1 vectors with a broadcast scalar condition)
+            oob_f = jnp.where(fine_ok, oob_f4.reshape(R, LANE),
+                              oob.astype(jnp.float32))
+        else:
+            oob_f = oob.astype(jnp.float32)
         aux_out[A_OVERFLOW:A_OVERFLOW + 1, :] += jnp.sum(
-            oob.astype(jnp.float32).reshape(R, LANE), axis=0,
-            keepdims=True)
+            oob_f, axis=0, keepdims=True)
         aw = jnp.abs(w_lane * inv_vx) * on
         aux_out[A_OOBW:A_OOBW + 1, :] += jnp.sum(
-            jnp.where(oob, aw, 0.0), axis=0, keepdims=True)
+            jnp.where(oob_f > 0.0, aw, 0.0), axis=0, keepdims=True)
         aux_out[A_WTOT:A_WTOT + 1, :] += jnp.sum(aw, axis=0,
                                                  keepdims=True)
 
@@ -1513,9 +1525,11 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
     fine = min(max(fine, 0) // 8 * 8, _TILE)
     if fine >= band:
         fine = 0
+    entry_sort = os.environ.get("MCS_MEGA_ENTRY_SORT", "1") == "1"
     key = (cfg_key, band, n_cells_pad, acc_rows, n_blocks, n_steps,
            margin, os.environ.get("MCS_MEGA_TAIL_MULT", "4"),
            resort_every, interpret, fine,
+           os.environ.get("MCS_MEGA_ENTRY_SORT", "1"),
            os.environ.get("MCS_MEGA_LAUNCHES_PER_PROG", "48"))
     if key in _LAUNCH_CACHE:
         return _LAUNCH_CACHE[key]
@@ -1703,14 +1717,19 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         """Fresh drive accumulators + bookkeeping: (psd, aux, tc, k,
         n_act, packed).  Exact live count at entry so a
         weakly-populated state (e.g. after a thin pcut split) rides
-        tail launches immediately."""
+        tail launches immediately.  packed = n0 because every drive
+        entry-partitions (see drive/drive_chunk): actives are at the
+        front, momentum-sorted, from launch 0 — which is also what
+        lets the two-level fine band engage on fresh populations
+        instead of only after the first halving."""
         psd0 = jnp.zeros((n_cells_pad, ZPAD), jnp.float32)
         aux0 = jnp.zeros((N_AUX, LANE), jnp.float64)
         tc0 = jnp.zeros((tc_pad, ZPAD), jnp.float32)
         n0 = jnp.sum((is_[I_STATUS] == ACTIVE).astype(jnp.int32),
                      dtype=jnp.int32)
         return (psd0, aux0, tc0, jnp.int32(0), n0,
-                jnp.int32(n_blocks * _ROWS * LANE))
+                n0 if entry_sort
+                else jnp.int32(n_blocks * _ROWS * LANE))
 
     def unsort(fs, is_, orig):
         """Restore original lane order by sorting on the carried slot
@@ -1726,6 +1745,8 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         """The whole drain in ONE device program: the per-dispatch
         round trip through the remote device tunnel is ~25 ms, which
         dominated a python-level launch loop."""
+        if entry_sort:
+            fs, is_, orig = _partition_active(fs, is_, orig)
         psd0, aux0, tc0, k0, n0, packed0 = init_acc(fs, is_)
         fs, is_, psd, aux, tc, orig, k, _, _ = lax.while_loop(
             cond_full, make_body(scf, xg, zs, et),
@@ -1742,6 +1763,12 @@ def _get_launch(cfg_key, cfg, band, n_cells_pad, n_blocks, n_steps,
         carried in (k, n_act, packed), so re-entry continues it
         exactly."""
         psd, aux, tc, k, n_act, packed = acc
+        # the monolithic drive entry-partitions; the first chunk must
+        # reproduce that exactly (bitwise contract)
+        if entry_sort:
+            fs, is_, orig = lax.cond(
+                k == jnp.int32(0), _partition_active,
+                lambda a, b, o: (a, b, o), fs, is_, orig)
         k_end = k + jnp.int32(chunk_launches)
 
         def cond(c):
