@@ -60,6 +60,14 @@ def main() -> None:
                     "die (STATUS.md round 7); they also fill only "
                     "half a megakernel block.  16-64x fixes both.")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--checkpoint", default=None,
+                    help="iteration-boundary checkpoint path (engine "
+                    "driver passthrough)")
+    ap.add_argument("--resume", default=None,
+                    help="resume from an iteration or .mid checkpoint")
+    ap.add_argument("--mid-every", type=int, default=0,
+                    help="with --checkpoint: segment-boundary "
+                    "checkpoint every N pcut segments")
     ap.add_argument("-o", "--out-dir", default="flagship_baseline_out")
     args = ap.parse_args()
     if args.max_helix_steps:
@@ -94,7 +102,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     res = run(cfg, p_dtype=jnp.float64 if args.f64 else jnp.float32,
-              out_dir=args.out_dir)
+              out_dir=args.out_dir, checkpoint=args.checkpoint,
+              resume=args.resume, mid_every=args.mid_every)
     dt = time.perf_counter() - t0
     setup = res.setup
 
