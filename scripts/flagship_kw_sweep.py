@@ -33,11 +33,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_point(ng: float, per_pcut: int, orbits: int, f64: bool):
+def run_point(ng: float, per_pcut: int, cap: int, f64: bool):
     """One N_g measurement in a FRESH process (MCS_MAX_HELIX_STEPS is
     read at import time, and the kernel launch cache is keyed per
-    process)."""
-    cap = int(orbits * ng)
+    process).  The cap is FIXED across the sweep (orbits * max(N_g)):
+    the helix-step cap enters the compiled program, so one shared cap
+    means one compile for the whole sweep, and an over-generous orbit
+    budget at the smaller N_g cannot bias anything (the cap only
+    truncates; the round-7b contamination came from the budget being
+    too SMALL at large N_g)."""
     env = dict(os.environ, MCS_MAX_HELIX_STEPS=str(cap))
     cmd = [sys.executable,
            os.path.join(ROOT, "scripts", "flagship_keshet_waxman.py"),
@@ -79,7 +83,8 @@ def main() -> int:
     args = ap.parse_args()
 
     ngs = [float(x) for x in args.ngs.split(",")]
-    points = [run_point(ng, args.per_pcut, args.orbits, args.f64)
+    cap = int(args.orbits * max(ngs))
+    points = [run_point(ng, args.per_pcut, cap, args.f64)
               for ng in ngs]
     s_kw = points[0]["s_kw"]
     x = np.array([p["ng"] for p in points])
