@@ -502,7 +502,9 @@ class TransportEngine:
                 if prefix_new is not None:
                     # segments below start_seg ran before the resume;
                     # splice their counters back for push accounting
-                    n_new_h = np.asarray(n_new, np.int64)
+                    # (np.array, not np.asarray: same-dtype asarray of
+                    # a device array is a READ-ONLY view)
+                    n_new_h = np.array(n_new, np.int64)
                     nsteps_h = np.asarray(nsteps).astype(np.uint64)
                     n_new_h[:start_seg] = prefix_new[:start_seg]
                     nsteps_h[:start_seg] = prefix_steps[:start_seg]
