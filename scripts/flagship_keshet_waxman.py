@@ -45,6 +45,12 @@ ap.add_argument("--cap", type=int, default=200_000,
                 help="helix-step cap per segment")
 ap.add_argument("--tol", type=float, default=0.25,
                 help="accepted |s_fit - s_KW|")
+ap.add_argument("--pmax", type=float, default=300.0,
+                help="maximum momentum in mp c.  The default keeps "
+                "the historical budget; raising it moves the "
+                "spectral cutoff away from the fit window (9-120 "
+                "mp c), isolating cutoff contamination of the "
+                "fitted index from genuine scattering physics")
 ap.add_argument("--f64", action="store_true")
 args = ap.parse_args()
 # NOTE: host-split segments (fused=False below) keep each device
@@ -86,9 +92,13 @@ def main() -> int:
     cfg.xn_per_coarse = args.ng
     # power-law window: thermal peak of the gamma0=5 shock sits at
     # gamma_rel beta_rel mp c ~ 3.4 mp c; measure over ~1.2 decades
-    cfg.pmax = 300.0 * K.MP_C
-    cfg.pcuts = [p * K.MP_C for p in
-                 (0.5, 4.5, 9.0, 18.0, 36.0, 72.0, 145.0, 290.0)]
+    cfg.pmax = args.pmax * K.MP_C
+    pcuts = [0.5, 4.5, 9.0, 18.0, 36.0, 72.0, 145.0, 290.0]
+    p = 290.0
+    while p * 2.0 < args.pmax:
+        p *= 2.0
+        pcuts.append(p)
+    cfg.pcuts = [q * K.MP_C for q in pcuts]
 
     setup = build_setup(cfg)
     b0, b2 = cfg.beta0, setup.beta2

@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_point(ng: float, per_pcut: int, cap: int, f64: bool):
+def run_point(ng: float, per_pcut: int, cap: int, pmax: float,
+              f64: bool):
     """One N_g measurement in a FRESH process (MCS_MAX_HELIX_STEPS is
     read at import time, and the kernel launch cache is keyed per
     process).  The cap is FIXED across the sweep (orbits * max(N_g)):
@@ -46,7 +47,7 @@ def run_point(ng: float, per_pcut: int, cap: int, f64: bool):
     cmd = [sys.executable,
            os.path.join(ROOT, "scripts", "flagship_keshet_waxman.py"),
            "--ng", str(ng), "--per-pcut", str(per_pcut),
-           "--cap", str(cap), "--tol", "99"]
+           "--cap", str(cap), "--tol", "99", "--pmax", str(pmax)]
     if f64:
         cmd.append("--f64")
     t0 = time.perf_counter()
@@ -78,13 +79,19 @@ def main() -> int:
                     help="helix cap in gyro-orbits (cap = orbits*N_g)")
     ap.add_argument("--tol", type=float, default=0.1,
                     help="accepted |s_inf - s_KW| on the best fit")
+    ap.add_argument("--pmax", type=float, default=2400.0,
+                    help="maximum momentum in mp c; the default puts "
+                    "the spectral cutoff 3 octaves above the fit "
+                    "window (the historical pmax=300 bled cutoff "
+                    "curvature into the fitted index: s_fit 4.44 vs "
+                    "4.21 at pmax=2400, same N_g)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("-o", "--out", default="kw_sweep.json")
     args = ap.parse_args()
 
     ngs = [float(x) for x in args.ngs.split(",")]
     cap = int(args.orbits * max(ngs))
-    points = [run_point(ng, args.per_pcut, cap, args.f64)
+    points = [run_point(ng, args.per_pcut, cap, args.pmax, args.f64)
               for ng in ngs]
     s_kw = points[0]["s_kw"]
     x = np.array([p["ng"] for p in points])
