@@ -35,6 +35,7 @@ Design notes (SURVEY.md section 7):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import NamedTuple
 
